@@ -1,0 +1,11 @@
+"""Watermark codecs (frequency-domain embed/extract) and payload spread codecs."""
+
+from .payload import (  # noqa: F401
+    Shuffler,
+    DeShuffler,
+    GrayScale,
+    DeGrayScale,
+    keyed_shuffle_indices,
+    despread_mean,
+)
+from .dwt_dct_svd import DwtDctSvd  # noqa: F401
