@@ -1,0 +1,66 @@
+"""CLI surface tests (in-process argv invocation)."""
+
+import numpy as np
+import pytest
+
+from vfp_tpu.cli.__main__ import main
+from vfp_tpu.io import RawVideoWriter
+
+from test_dwt_dct_svd import natural_frames
+
+
+@pytest.fixture(scope="module")
+def source_video(tmp_path_factory):
+    rng = np.random.RandomState(11)
+    d = tmp_path_factory.mktemp("clisrc")
+    p = d / "source.rawv"
+    with RawVideoWriter(p, 96, 64, fps=6) as w:
+        w.write_batch(natural_frames(rng, b=12, h=64, w=96))
+    return p
+
+
+class TestMarkDetect:
+    def test_mark_then_detect(self, source_video, tmp_path, capsys):
+        out = tmp_path / "marked.avi"
+        main(["mark", str(source_video), str(out), "--payload", "01100101", "--batch-size", "8"])
+        assert out.exists()
+        captured = capsys.readouterr().out
+        assert "marked 12 frames" in captured
+
+        main(["detect", str(out), "--payload-len", "8", "--batch-size", "8"])
+        captured = capsys.readouterr().out
+        assert "majority payload: 01100101" in captured
+        assert "frequency 1.00" in captured
+
+
+class TestHlsWorkflow:
+    def test_full_hls_leak_trace(self, source_video, tmp_path, capsys):
+        base = tmp_path / "hls_out"
+        main([
+            "hls-mark", str(source_video), str(base),
+            "--copies", "2", "--segment-duration", "1", "--batch-size", "8",
+        ])
+        out = capsys.readouterr().out
+        assert "All segments were watermarked successfully!" in out
+        assert (base / "segment_payloads.json").exists()
+        assert (base / "segment_copies.json").exists()
+        assert (base / "segment_mapping.json").exists()
+        assert (base / "hls" / "playlist.m3u8").exists()
+        assert (base / "hls" / "master.m3u8").exists()
+
+        main(["leak", str(base / "segment_copies.json"), "--pattern", "101", "--detect",
+              "--segment-duration", "1"])
+        out = capsys.readouterr().out
+        assert "Copy fingerprint: 10" in out  # 12 frames @6fps/1s -> 2 segments
+
+
+class TestDurability:
+    def test_durability_passes(self, source_video, tmp_path, capsys):
+        with pytest.raises(SystemExit) as e:
+            main([
+                "durability", str(source_video), str(tmp_path / "dur"),
+                "--segment-duration", "1", "--quality", "95",
+            ])
+        assert e.value.code == 0
+        out = capsys.readouterr().out
+        assert '"is_successful": true' in out

@@ -1,0 +1,160 @@
+"""End-to-end HLS fingerprinting workflow tests (ffmpeg-less path).
+
+Mirrors the reference's run.md flow: segment -> mark N variants -> HLS
+playlists -> leak with a chosen pattern -> trace the fingerprint back.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from vfp_tpu.fingerprint import (
+    payload_for_segment,
+    decode_segment_copy,
+    pattern_for_view,
+    segment_video,
+    mark_segments,
+    verify_segment,
+    write_manifests,
+    write_hls_playlists,
+    view_playlist,
+    generate_leak,
+    trace_leak,
+)
+from vfp_tpu.io import RawVideoWriter
+
+from test_dwt_dct_svd import natural_frames
+
+
+class TestPayloads:
+    def test_roundtrip(self):
+        for seg in (0, 3, 15, 17):
+            for copy in (0, 1, 2, 9):
+                p = payload_for_segment(seg, copy)
+                assert p.shape == (8,)
+                s, c = decode_segment_copy(p)
+                assert (s, c) == (seg % 16, copy % 16)
+
+    def test_reference_example(self):
+        # segment 1, copy 2 -> '0001' + '0010'
+        np.testing.assert_array_equal(
+            payload_for_segment(1, 2), np.array([0, 0, 0, 1, 0, 0, 1, 0])
+        )
+
+
+class TestViewPattern:
+    def test_base_n(self):
+        assert pattern_for_view(0, 3, 4) == [0, 0, 0, 0]
+        assert pattern_for_view(1, 3, 4) == [0, 0, 0, 1]
+        assert pattern_for_view(5, 3, 4) == [0, 0, 1, 2]  # 5 = 12 base 3
+        assert pattern_for_view(7, 2, 4) == [0, 1, 1, 1]
+
+
+@pytest.fixture(scope="module")
+def source_video(tmp_path_factory):
+    """A 3-'second' synthetic clip at 6 fps (18 frames, 64x96)."""
+    rng = np.random.RandomState(42)
+    d = tmp_path_factory.mktemp("src")
+    p = d / "source.rawv"
+    frames = natural_frames(rng, b=18, h=64, w=96)
+    with RawVideoWriter(p, 96, 64, fps=6) as w:
+        w.write_batch(frames)
+    return p
+
+
+class TestSegmenter:
+    def test_exact_grid(self, source_video, tmp_path):
+        segs = segment_video(source_video, tmp_path / "segs", segment_duration=2.0)
+        assert len(segs) == 2  # 18 frames @6fps = 3s -> 2 full 2s segments... 12 frames + 6 leftover
+        # leftover frames form a shorter final segment only if >0: 18 = 12 + 6 -> second seg has 6
+        from vfp_tpu.io import open_reader
+
+        counts = []
+        for s in segs:
+            r = open_reader(s)
+            n = 0
+            while True:
+                b = r.read_batch(8)
+                if b is None:
+                    break
+                n += len(b)
+            r.close()
+            counts.append(n)
+        assert counts == [12, 6]
+
+
+class TestEndToEnd:
+    @pytest.fixture(scope="class")
+    def marked_tree(self, source_video, tmp_path_factory):
+        base = tmp_path_factory.mktemp("hlsmark")
+        segs = segment_video(source_video, base / "segments", segment_duration=2.0)
+        marked, payloads, copies = mark_segments(
+            segs, base / "marked_segments", copies=3, batch_size=8
+        )
+        write_manifests(base, payloads, copies)
+        return base, segs, marked, payloads, copies
+
+    def test_mark_and_manifests(self, marked_tree):
+        base, segs, marked, payloads, copies = marked_tree
+        assert len(marked) == len(segs) * 3
+        assert copies["copies_per_segment"] == 3
+        assert json.loads((base / "segment_payloads.json").read_text()) == payloads
+        on_disk = json.loads((base / "segment_copies.json").read_text())
+        assert on_disk["total_marked_segments"] == len(marked)
+
+    def test_verify_marked_segments(self, marked_tree):
+        base, segs, marked, payloads, copies = marked_tree
+        for m in marked[:3]:
+            pattern, freq, ok = verify_segment(m.file, m.payload)
+            assert ok, (m.file, pattern, m.payload)
+            assert freq >= 0.5
+
+    def test_hls_playlists(self, marked_tree):
+        base, segs, marked, payloads, copies = marked_tree
+        master, playlist, seg_map, variants = write_hls_playlists(
+            marked, base / "hls", copies=3
+        )
+        text = playlist.read_text()
+        assert text.startswith("#EXTM3U")
+        assert "marked_seg000_copy0" in text
+        assert len(seg_map) == len(marked)
+        m3u8, pattern = view_playlist(5, 3, variants, uri_prefix="/hls/")
+        assert pattern == pattern_for_view(5, 3, len(variants))
+        for i, c in enumerate(pattern):
+            assert f"/hls/{variants[i][c]}" in m3u8
+
+    def test_leak_and_trace(self, marked_tree):
+        base, segs, marked, payloads, copies = marked_tree
+        leaked, info = generate_leak(base / "segment_copies.json", pattern="21")
+        assert info["pattern_string"] == "21"
+        result = trace_leak(
+            leaked,
+            base / "detection",
+            payload_file=base / "segment_payloads.json",
+            max_copies=3,
+        )
+        assert result.fingerprint == "21", [t.__dict__ for t in result.segments]
+        assert result.success_rate == 1.0
+        on_disk = json.loads((base / "detection" / "detection_results.json").read_text())
+        assert len(on_disk) == 2 and all(r["success"] for r in on_disk)
+
+    def test_blind_trace_without_manifests(self, marked_tree):
+        """No payload file: decode 4+4 bits directly from the majority pattern."""
+        base, segs, marked, payloads, copies = marked_tree
+        leaked, info = generate_leak(
+            base / "segment_copies.json", output_file=base / "leak2.avi", pattern="02"
+        )
+        result = trace_leak(leaked, base / "detection2", payload_file=None, max_copies=3)
+        assert result.fingerprint == "02"
+
+    def test_random_pattern_seeded(self, marked_tree):
+        base, *_ = marked_tree
+        leaked, info = generate_leak(
+            base / "segment_copies.json", output_file=base / "leak3.avi", random_seed=7
+        )
+        assert len(info["copy_pattern"]) == 2
+        result = trace_leak(
+            leaked, base / "detection3", payload_file=base / "segment_payloads.json"
+        )
+        assert result.fingerprint == info["pattern_string"]

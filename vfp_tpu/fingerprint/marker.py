@@ -1,0 +1,161 @@
+"""Per-segment variant marking + verification.
+
+Reference behaviour: for every segment x copy, re-open the segment, decode it
+frame by frame, embed, re-encode (reference: tests/mark_video_to_hls.py:73-109,
+336-354), then verify each marked file with another full decode per candidate
+(reference: :213-294).  TPU redesign: each segment's frames are decoded ONCE
+into a device batch and all N copy variants are marked from that same batch;
+verification decodes each marked file once and compares the majority pattern
+against the expected payload.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import numpy as np
+
+from ..io import open_reader, open_writer
+from ..pipeline import FrameExtractor, FrameMarker
+from ..wm import DeShuffler, DwtDctSvd, Shuffler
+from .payloads import payload_for_segment
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class MarkedSegment:
+    file: str
+    segment_number: int
+    copy_index: int
+    payload: list = field(default_factory=list)
+
+
+def _read_all(file):
+    reader = open_reader(file)
+    chunks = []
+    try:
+        fps = reader.fps
+        while True:
+            b = reader.read_batch(32)
+            if b is None:
+                break
+            chunks.append(b)
+    finally:
+        reader.close()
+    if not chunks:
+        raise IOError(f"empty segment: {file}")
+    return np.concatenate(chunks), fps
+
+
+def mark_segments(
+    segments,
+    marked_dir,
+    copies: int = 1,
+    key: int = 0,
+    codec=None,
+    batch_size: int = 16,
+    quality: int = 95,
+    out_ext: str | None = None,
+):
+    """Mark every segment in ``copies`` variants.
+
+    Returns (marked: list[MarkedSegment], segment_payloads, segment_copies) —
+    the dicts use the reference's JSON manifest schemas
+    (reference: tests/mark_video_to_hls.py:406-427).
+    """
+    codec = codec or DwtDctSvd()
+    marked_dir = Path(marked_dir)
+    marked_dir.mkdir(parents=True, exist_ok=True)
+    from ..io.ffmpeg import have_ffmpeg
+
+    if out_ext is None:
+        out_ext = ".mp4" if have_ffmpeg() else ".avi"
+
+    marked: list[MarkedSegment] = []
+    segment_payloads: dict = {}
+    segment_copies: dict = {"segments": {}}
+    generator = Shuffler(key=key)
+
+    for seg_idx, seg_file in enumerate(segments):
+        frames, fps = _read_all(seg_file)  # decoded ONCE for all copies
+        h, w = frames.shape[1:3]
+        capacity = codec.wm_capacity((h, w, 3))
+        seg_entry = []
+        for copy_index in range(copies):
+            payload = payload_for_segment(seg_idx, copy_index)
+            wm = generator.generate_wm(payload, capacity)
+            fm = FrameMarker(codec, wm, batch_size=batch_size)
+            out_file = marked_dir / f"marked_seg{seg_idx}_copy{copy_index}{out_ext}"
+            with open_writer(out_file, w, h, fps, quality) as writer:
+                for start in range(0, len(frames), batch_size):
+                    writer.write_batch(fm.mark(frames[start : start + batch_size]))
+            info = MarkedSegment(
+                file=str(out_file),
+                segment_number=seg_idx,
+                copy_index=copy_index,
+                payload=payload.tolist(),
+            )
+            marked.append(info)
+            seg_entry.append(
+                {"file": out_file.name, "payload": payload.tolist(), "copy_index": copy_index}
+            )
+            segment_payloads[f"{seg_idx}_{copy_index}"] = payload.tolist()
+            logger.info("marked segment %d copy %d -> %s", seg_idx, copy_index, out_file)
+        segment_copies["segments"][str(seg_idx)] = seg_entry
+
+    segment_copies.update(
+        {
+            "total_segments": len(segments),
+            "copies_per_segment": copies,
+            "total_marked_segments": len(marked),
+        }
+    )
+    return marked, segment_payloads, segment_copies
+
+
+def verify_segment(marked_file, expected_payload, codec=None, key: int = 0, batch_size: int = 16):
+    """Decode a marked segment once; (majority_pattern, frequency, success).
+
+    Success = majority pattern equals the expected payload (the reference
+    additionally gates frequency >= 0.5 at the workflow level,
+    tests/mark_video_to_hls.py:381).
+    """
+    codec = codec or DwtDctSvd()
+    expected = np.asarray(expected_payload)
+    # fixed threshold: QIM bit planes are 0/1, and the all-zero payload of
+    # segment 0 copy 0 is unrecoverable under the reference's midpoint rule
+    deg = DeShuffler(key=key, threshold="fixed").set_shape(expected.shape)
+    fx = FrameExtractor(codec, deg, batch_size=batch_size)
+    frames, _ = _read_all(marked_file)
+    payloads = np.concatenate(
+        [fx.extract(frames[s : s + batch_size]) for s in range(0, len(frames), batch_size)]
+    )
+    from collections import Counter
+
+    counter = Counter(map(tuple, payloads.tolist()))
+    pattern, count = counter.most_common(1)[0]
+    freq = count / len(payloads)
+    return np.array(pattern, np.uint8), freq, bool(np.array_equal(pattern, expected))
+
+
+def write_manifests(base_dir, segment_payloads, segment_copies, segment_map=None, failed=None):
+    """Emit the reference's JSON manifests (tests/mark_video_to_hls.py:406-434)."""
+    base_dir = Path(base_dir)
+    (base_dir / "segment_payloads.json").write_text(json.dumps(segment_payloads, indent=2))
+    (base_dir / "segment_copies.json").write_text(json.dumps(segment_copies, indent=2))
+    if segment_map is not None:
+        (base_dir / "segment_mapping.json").write_text(
+            json.dumps(
+                {
+                    "hls_to_watermarked": segment_map,
+                    "description": "Maps HLS segment files to their source watermarked segment files",
+                },
+                indent=2,
+            )
+        )
+    if failed:
+        (base_dir / "failed_segments.json").write_text(json.dumps(failed, indent=2))

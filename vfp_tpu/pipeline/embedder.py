@@ -1,0 +1,119 @@
+"""Embedding driver: reader -> batched TPU mark -> writer, stages overlapped.
+
+The reference processes one frame per loop iteration with everything serial
+(reference: src/offmark/video/embedder.py:18-31).  Here frames move in
+``[B, H, W, 3]`` batches; a reader thread decodes batch k+1 and a writer
+thread encodes batch k-1 while the device computes batch k (the 3-stage
+host pipeline from SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = None
+
+
+class FrameMarker:
+    """Binds a codec + spread watermark into a jitted uint8 batch transform.
+
+    Pads partial batches to the compiled batch size so every video length
+    reuses one executable per (B, H, W) shape.
+    """
+
+    def __init__(self, codec, wm: np.ndarray, batch_size: int = 16):
+        self.codec = codec
+        self.wm = jax.numpy.asarray(np.asarray(wm).reshape(-1), jax.numpy.float32)
+        self.batch_size = batch_size
+        self._fn = jax.jit(lambda f, w: codec.mark_frames(f, w))
+
+    def mark(self, frames: np.ndarray) -> np.ndarray:
+        k = len(frames)
+        if k < self.batch_size:
+            pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)
+            frames = np.concatenate([frames, pad])
+        out = self._fn(frames, self.wm)
+        return np.asarray(out)[:k]
+
+
+@dataclass
+class PipelineStats:
+    frames: int = 0
+    seconds: float = 0.0
+    stage_seconds: dict = field(default_factory=dict)
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds else 0.0
+
+
+class Embedder:
+    """Drive reader -> marker -> writer to completion (reference API:
+    Embedder(frame_reader, frame_embedder, frame_writer).start(),
+    src/offmark/video/embedder.py:11-31)."""
+
+    def __init__(self, frame_reader, frame_marker: FrameMarker, frame_writer, prefetch: int = 2):
+        self.reader = frame_reader
+        self.marker = frame_marker
+        self.writer = frame_writer
+        self.prefetch = prefetch
+
+    def start(self) -> PipelineStats:
+        t0 = time.perf_counter()
+        in_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        err: list = []
+
+        def produce():
+            try:
+                while True:
+                    batch = self.reader.read_batch(self.marker.batch_size)
+                    if batch is None:
+                        break
+                    in_q.put(batch)
+            except Exception as e:  # pragma: no cover - propagated below
+                err.append(e)
+            finally:
+                in_q.put(_SENTINEL)
+
+        def consume():
+            try:
+                while True:
+                    batch = out_q.get()
+                    if batch is _SENTINEL:
+                        break
+                    self.writer.write_batch(batch)
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+
+        rt = threading.Thread(target=produce, daemon=True)
+        wt = threading.Thread(target=consume, daemon=True)
+        rt.start()
+        wt.start()
+
+        n = 0
+        while True:
+            batch = in_q.get()
+            if batch is _SENTINEL:
+                break
+            out_q.put(self.marker.mark(batch))
+            n += len(batch)
+        out_q.put(_SENTINEL)
+        rt.join()
+        wt.join()
+        self.reader.close()
+        self.writer.close()
+        if err:
+            raise err[0]
+        stats = PipelineStats(frames=n, seconds=time.perf_counter() - t0)
+        logger.info("embedded %d frames in %.2fs (%.1f fps)", n, stats.seconds, stats.fps)
+        return stats

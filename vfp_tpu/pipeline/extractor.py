@@ -1,0 +1,114 @@
+"""Extraction driver: reader -> batched TPU decode -> payload aggregation.
+
+The reference decodes frame-by-frame and only logs each result
+(reference: src/offmark/video/extractor.py:18-34); the workflow scripts then
+re-collect per-frame patterns with a Counter (reference:
+tests/detect_watermarks.py:101-143).  Here decoding is batched and the
+majority vote is part of the result, computed once.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from collections import Counter
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SENTINEL = None
+
+
+class FrameExtractor:
+    """Binds a codec + degenerator into a jitted uint8 batch -> payload map."""
+
+    def __init__(self, codec, degenerator, batch_size: int = 16):
+        self.codec = codec
+        self.degenerator = degenerator
+        self.batch_size = batch_size
+
+        def _extract(frames):
+            bits = codec.extract_frames(frames)
+            return degenerator.degenerate_batch(bits)
+
+        self._fn = jax.jit(_extract)
+
+    def extract(self, frames: np.ndarray) -> np.ndarray:
+        k = len(frames)
+        if k < self.batch_size:
+            pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)
+            frames = np.concatenate([frames, pad])
+        return np.asarray(self._fn(frames))[:k]
+
+
+@dataclass
+class ExtractResult:
+    payloads: np.ndarray  # [N, payload_len] uint8, one per frame
+    seconds: float
+
+    @property
+    def frames(self) -> int:
+        return len(self.payloads)
+
+    @property
+    def fps(self) -> float:
+        return self.frames / self.seconds if self.seconds else 0.0
+
+    def majority(self):
+        """(most_common_payload, frequency) over frames — the reference's
+        Counter vote (tests/mark_video_to_hls.py:254-294)."""
+        if not len(self.payloads):
+            return None, 0.0
+        counter = Counter(map(tuple, self.payloads.tolist()))
+        pattern, count = counter.most_common(1)[0]
+        return np.array(pattern, dtype=np.uint8), count / len(self.payloads)
+
+
+class Extractor:
+    """Drive reader -> extractor over a whole stream (reference API:
+    Extractor(frame_reader, frame_extractor, degenerator).start(),
+    src/offmark/video/extractor.py:11-28)."""
+
+    def __init__(self, frame_reader, frame_extractor: FrameExtractor, prefetch: int = 2):
+        self.reader = frame_reader
+        self.extractor = frame_extractor
+        self.prefetch = prefetch
+
+    def start(self) -> ExtractResult:
+        t0 = time.perf_counter()
+        in_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        err: list = []
+
+        def produce():
+            try:
+                while True:
+                    batch = self.reader.read_batch(self.extractor.batch_size)
+                    if batch is None:
+                        break
+                    in_q.put(batch)
+            except Exception as e:  # pragma: no cover
+                err.append(e)
+            finally:
+                in_q.put(_SENTINEL)
+
+        rt = threading.Thread(target=produce, daemon=True)
+        rt.start()
+        outs = []
+        while True:
+            batch = in_q.get()
+            if batch is _SENTINEL:
+                break
+            outs.append(self.extractor.extract(batch))
+        rt.join()
+        self.reader.close()
+        if err:
+            raise err[0]
+        payloads = np.concatenate(outs) if outs else np.zeros((0, 0), np.uint8)
+        res = ExtractResult(payloads=payloads, seconds=time.perf_counter() - t0)
+        logger.info("extracted %d frames in %.2fs (%.1f fps)", res.frames, res.seconds, res.fps)
+        return res

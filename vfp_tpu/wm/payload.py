@@ -62,9 +62,22 @@ def _unshuffle(vals: jnp.ndarray, key) -> jnp.ndarray:
 
 
 def _threshold_mid(vals: jnp.ndarray) -> jnp.ndarray:
-    """Binarize at the midpoint of (min, max) (reference: de_shuffler.py:20-21)."""
+    """Binarize at the midpoint of (min, max) (reference: de_shuffler.py:20-21).
+
+    Parity quirk: a constant payload (e.g. all zeros — segment 0 copy 0 of
+    the HLS workflow) is unrecoverable under this rule the moment any mean
+    wobbles, because the midpoint splits the noise.  The reference inherits
+    this; ``threshold='fixed'`` avoids it when the watermark plane is known
+    to be 0/1 bits.
+    """
     thr = 0.5 * (jnp.max(vals, axis=-1, keepdims=True) + jnp.min(vals, axis=-1, keepdims=True))
     return (vals > thr).astype(jnp.uint8)
+
+
+def _threshold_fixed(vals: jnp.ndarray) -> jnp.ndarray:
+    """Binarize at absolute 0.5 — exact for 0/1 bit planes, robust for
+    constant payloads."""
+    return (vals > 0.5).astype(jnp.uint8)
 
 
 class Shuffler:
@@ -87,11 +100,16 @@ class Shuffler:
 
 
 class DeShuffler:
-    """Inverse of :class:`Shuffler`: strided mean, unshuffle, mid-threshold."""
+    """Inverse of :class:`Shuffler`: strided mean, unshuffle, threshold.
 
-    def __init__(self, key=None):
+    ``threshold='midpoint'`` reproduces the reference exactly;
+    ``'fixed'`` binarizes at absolute 0.5 (see :func:`_threshold_mid`).
+    """
+
+    def __init__(self, key=None, threshold: str = "midpoint"):
         self.key = key
         self.payload_len = None
+        self._thr = _threshold_fixed if threshold == "fixed" else _threshold_mid
 
     def set_shape(self, payload_shape):
         self.payload_shape = tuple(np.atleast_1d(payload_shape))
@@ -102,7 +120,7 @@ class DeShuffler:
         """[..., total] float watermark plane(s) -> [..., payload_len] uint8 bits."""
         total = wm.shape[-1]
         means = despread_mean(wm, self.payload_len, total)
-        return _threshold_mid(_unshuffle(means, self.key))
+        return self._thr(_unshuffle(means, self.key))
 
     def degenerate(self, wm) -> np.ndarray:
         """Single-plane NumPy-compatible entry point (reference API shape)."""
