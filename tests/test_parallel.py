@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vfp_tpu.parallel import make_mesh, sharded_mark_step, sharded_detect_step
+from vfp_tpu.parallel.sharded import shard_batch
+from vfp_tpu.wm import DwtDctSvd, Shuffler, DeShuffler
+from vfp_tpu.fingerprint import payload_for_segment
+
+from test_dwt_dct_svd import natural_frames
+
+
+@pytest.fixture(scope="module")
+def mesh42():
+    assert len(jax.devices()) == 8
+    return make_mesh(data=4, variant=2)
+
+
+class TestShardedMark:
+    def test_matches_single_device(self, mesh42, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, b=8, h=32, w=48)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = np.stack(
+            [
+                Shuffler(key=0).generate_wm(payload_for_segment(1, c), cap).flatten()
+                for c in range(2)
+            ]
+        ).astype(np.float32)
+        step = sharded_mark_step(mesh42, codec)
+        out = np.asarray(step(jnp.asarray(frames), jnp.asarray(wms)))
+        assert out.shape == (2, 8, 32, 48, 3)
+        for v in range(2):
+            want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wms[v])))
+            np.testing.assert_array_equal(out[v], want)
+
+
+class TestShardedDetect:
+    def test_votes(self, mesh42, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, b=8, h=32, w=48)
+        cap = codec.wm_capacity(frames.shape[1:])
+        payload = payload_for_segment(2, 1)
+        wm = Shuffler(key=0).generate_wm(payload, cap)
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        cands = np.stack([payload_for_segment(2, c) for c in range(3)]).astype(np.float32)
+        step = sharded_detect_step(mesh42, codec, deg, candidates=3)
+        votes = np.asarray(step(shard_batch(mesh42, jnp.asarray(marked)), jnp.asarray(cands)))
+        assert votes.shape == (3,)
+        assert votes[1] == 8 and votes[0] == 0 and votes[2] == 0
+
+    def test_dp_only_mesh(self, rng):
+        mesh = make_mesh(data=8, variant=1)
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, b=16, h=32, w=32)
+        payload = payload_for_segment(0, 1)
+        wm = Shuffler(key=0).generate_wm(payload, codec.wm_capacity(frames.shape[1:]))
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        cands = np.stack([payload_for_segment(0, c) for c in range(3)]).astype(np.float32)
+        votes = np.asarray(
+            sharded_detect_step(mesh, codec, deg, 3)(jnp.asarray(marked), jnp.asarray(cands))
+        )
+        assert votes[1] == 16

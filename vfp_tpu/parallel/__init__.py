@@ -1,0 +1,4 @@
+"""Multi-chip scaling: device meshes + sharded mark/detect steps."""
+
+from .mesh import make_mesh  # noqa: F401
+from .sharded import sharded_mark_step, sharded_detect_step  # noqa: F401

@@ -34,11 +34,16 @@ from typing import Sequence
 
 import jax.numpy as jnp
 
-from ..ops.blocks import from_blocks, to_blocks
 from ..ops.color import bgr_to_yuv, yuv_to_bgr
-from ..ops.dct import dct2, idct2
 from ..ops.haar import haar_dwt2, haar_idwt2
-from ..ops.svd4 import top_singular_triplet, top_singular_value
+from ..ops.soa import (
+    dct_soa,
+    idct_soa,
+    image_to_soa,
+    rank1_update_soa,
+    soa_to_image,
+    top_triplet_soa,
+)
 
 
 def block_grid(frame_shape, blk: int = 4):
@@ -51,31 +56,53 @@ def block_grid(frame_shape, blk: int = 4):
 
 @dataclass(frozen=True)
 class DwtDctSvd:
-    """Functional codec; instances are static (hashable) so methods jit cleanly."""
+    """Functional codec; instances are static (hashable) so methods jit cleanly.
+
+    backend: 'pallas' = fused TPU kernel for the block stage (one HBM
+    round-trip), 'xla' = pure jnp ops, 'auto' = pallas on TPU else xla.
+    """
 
     scales: Sequence[float] = (0.0, 15.0, 0.0)
     blk: int = 4
+    backend: str = "auto"
+
+    def _use_pallas(self) -> bool:
+        import jax
+
+        if self.backend == "auto":
+            return jax.default_backend() == "tpu"
+        return self.backend == "pallas"
 
     # -- reference-compatible capacity -------------------------------------
     def wm_capacity(self, frame_shape):
         return (1, frame_shape[0] * frame_shape[1] // 64)
 
-    # -- core per-channel ops (batched [B, H, W]) ---------------------------
+    # -- core per-channel ops (batched [B, H, W], SoA hot path) -------------
     def _embed_channel(self, chan: jnp.ndarray, wm_bits: jnp.ndarray, scale: float):
         b, h, w = chan.shape
         h4, w4 = h // 4 * 4, w // 4 * 4
         (nbh, nbw), _ = block_grid((h, w), self.blk)
         ll, lh, hl, hh = haar_dwt2(chan[:, :h4, :w4])
         region = ll[:, : nbh * self.blk, : nbw * self.blk]
-        blocks = to_blocks(region, self.blk)  # [B, N, blk, blk]
-        coeffs = dct2(blocks)
-        s0, u, v = top_singular_triplet(coeffs)
+        m = image_to_soa(region, self.blk)  # [B, 16, N] spatial
         bits = wm_bits[: nbh * nbw].astype(jnp.float32)
-        s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
-        coeffs = coeffs + (s_new - s0)[..., None, None] * (u[..., :, None] * v[..., None, :])
-        region_new = from_blocks(idct2(coeffs), nbh * self.blk, nbw * self.blk)
-        ll = ll.at[:, : nbh * self.blk, : nbw * self.blk].set(region_new)
+        if self._use_pallas():
+            from ..kernels import qim_embed_soa
+
+            m = qim_embed_soa(m, bits, scale)
+        else:
+            m = dct_soa(m)
+            s0, u, v = top_triplet_soa(m)
+            s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
+            m = idct_soa(rank1_update_soa(m, s_new - s0, u, v))
+        region_new = soa_to_image(m, nbh * self.blk, nbw * self.blk, self.blk)
+        if (nbh * self.blk, nbw * self.blk) == ll.shape[1:]:
+            ll = region_new
+        else:
+            ll = ll.at[:, : nbh * self.blk, : nbw * self.blk].set(region_new)
         out = haar_idwt2(ll, lh, hl, hh)
+        if (h4, w4) == (h, w):
+            return out
         return chan.at[:, :h4, :w4].set(out)
 
     def _decode_channel(self, chan: jnp.ndarray, scale: float) -> jnp.ndarray:
@@ -83,8 +110,12 @@ class DwtDctSvd:
         h4, w4 = h // 4 * 4, w // 4 * 4
         (nbh, nbw), _ = block_grid((h, w), self.blk)
         ll, *_ = haar_dwt2(chan[:, :h4, :w4])
-        blocks = to_blocks(ll[:, : nbh * self.blk, : nbw * self.blk], self.blk)
-        s0 = top_singular_value(dct2(blocks))
+        m = image_to_soa(ll[:, : nbh * self.blk, : nbw * self.blk], self.blk)
+        if self._use_pallas():
+            from ..kernels import qim_decode_soa
+
+            return qim_decode_soa(m, scale)
+        s0, _, _ = top_triplet_soa(dct_soa(m))
         return (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)  # [B, N]
 
     # -- YUV-level API -------------------------------------------------------
@@ -117,9 +148,25 @@ class DwtDctSvd:
         Reproduces the reference frame path: float32 -> BGR2YUV -> encode ->
         YUV2BGR -> clip(0,255) -> round-half-even -> uint8 (reference:
         video/embedder.py:33-39).
+
+        Fast path for the default U-only embedding: since YUV2BGR is affine,
+        updating one channel never needs the modified [B,H,W,3] tensor —
+        BGR' = YUV2BGR(yuv) + (u' - u) * M_BWD[:, chan], a rank-1 channel
+        correction fused into the elementwise epilogue (bit-identical math:
+        f32 add of the same delta).
         """
+        from ..ops.color import M_BWD
+
+        active = [c for c, s in enumerate(self.scales) if s > 0]
         yuv = bgr_to_yuv(frames.astype(jnp.float32))
-        marked = yuv_to_bgr(self.encode_yuv(yuv, wm))
+        if len(active) == 1:
+            c = active[0]
+            chan = yuv[..., c]
+            chan_new = self._embed_channel(chan, wm.reshape(-1), float(self.scales[c]))
+            base = yuv_to_bgr(yuv)
+            marked = base + (chan_new - chan)[..., None] * jnp.asarray(M_BWD[:, c])
+        else:
+            marked = yuv_to_bgr(self.encode_yuv(yuv, wm))
         return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
 
     def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
