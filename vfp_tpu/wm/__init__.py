@@ -9,3 +9,4 @@ from .payload import (  # noqa: F401
     despread_mean,
 )
 from .dwt_dct_svd import DwtDctSvd  # noqa: F401
+from .dct_qim import DctQim  # noqa: F401
