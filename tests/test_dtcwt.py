@@ -1,0 +1,131 @@
+"""DT-CWT transform + codec tests (self-consistency; the dtcwt package is
+unavailable, so the bar is exact PR, shift tolerance, and full codec
+roundtrips incl. the reference pairings CorrShuffler<->DtcwtKey and
+BlockShuffler<->DtcwtImg)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vfp_tpu.ops.dtcwt import Transform2d, Pyramid
+from vfp_tpu.ops.filters import filter2d_mean2x2, rebin_mean
+from vfp_tpu.wm.dtcwt_codecs import DtcwtKey, DtcwtImg, infer_wm_shape
+from vfp_tpu.wm.payload_img import CorrShuffler, DeCorrShuffler, BlockShuffler, DeBlockShuffler
+
+from test_dwt_dct_svd import natural_frames
+
+
+class TestTransform:
+    @pytest.mark.parametrize("shape", [(32, 32), (24, 40), (30, 42), (31, 41)])
+    def test_perfect_reconstruction(self, rng, shape):
+        x = rng.rand(*shape).astype(np.float32) * 255
+        t = Transform2d()
+        for nl in (1, 2, 3):
+            rec = np.asarray(t.inverse(t.forward(jnp.asarray(x), nlevels=nl)))
+            np.testing.assert_allclose(rec[: shape[0], : shape[1]], x, atol=2e-3)
+
+    def test_batched(self, rng):
+        x = rng.rand(3, 32, 48).astype(np.float32)
+        t = Transform2d()
+        pyr = t.forward(jnp.asarray(x), nlevels=3)
+        assert pyr.highpasses[0].shape == (3, 16, 24, 6)
+        assert pyr.highpasses[2].shape == (3, 4, 6, 6)
+        assert pyr.lowpass.shape == (3, 8, 12)
+        rec = np.asarray(t.inverse(pyr))
+        np.testing.assert_allclose(rec, x, atol=2e-5)
+
+    def test_highpass_kills_dc(self, rng):
+        """Constant images must put (almost) no energy in highpasses."""
+        x = jnp.full((16, 16), 7.0)
+        pyr = Transform2d().forward(x, nlevels=2)
+        for hp in pyr.highpasses:
+            assert float(jnp.max(jnp.abs(hp))) < 1e-4
+
+    def test_near_shift_invariance(self, rng):
+        """Complex magnitudes move far less under a 1px shift than real DWT
+        coefficients would (the point of the dual tree)."""
+        x = rng.rand(64, 64).astype(np.float32)
+        x = cv2.GaussianBlur(x, (0, 0), 2)
+        t = Transform2d()
+        a = t.forward(jnp.asarray(x), nlevels=3)
+        b = t.forward(jnp.asarray(np.roll(x, 1, axis=0)), nlevels=3)
+        ma, mb = jnp.abs(a.highpasses[2]), jnp.abs(b.highpasses[2])
+        rel = float(jnp.linalg.norm(ma - mb) / jnp.linalg.norm(ma))
+        assert rel < 0.35, rel
+
+
+class TestFilters:
+    def test_filter2d_matches_cv2(self, rng):
+        x = rng.rand(20, 30).astype(np.float32)
+        want = cv2.filter2D(x, -1, np.array([[0.25, 0.25], [0.25, 0.25]]))
+        got = np.asarray(filter2d_mean2x2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_rebin(self, rng):
+        a = rng.rand(8, 12).astype(np.float32)
+        got = np.asarray(rebin_mean(jnp.asarray(a), (4, 6)))
+        want = a.reshape(4, 2, 6, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_rebin_odd_rows(self, rng):
+        a = rng.rand(7, 12).astype(np.float32)
+        got = np.asarray(rebin_mean(jnp.asarray(a), (4, 6)))
+        ap = np.vstack([a, np.zeros((1, 12), np.float32)])
+        want = ap.reshape(4, 2, 6, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestDtcwtKeyCodec:
+    def test_corr_roundtrip(self, rng):
+        codec = DtcwtKey()
+        frames = natural_frames(rng, b=2, h=240, w=320)
+        cap = codec.wm_capacity((240, 320, 3))
+        assert cap == infer_wm_shape((240, 320, 3))
+        wm = CorrShuffler(key=3).generate_wm(None, cap)
+        marked = codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm))
+        planes = codec.extract_frames(marked)
+        deg = DeCorrShuffler(key=3)
+        corr = np.asarray(deg.correlation_batch(planes))
+        assert (corr > 0.1).all(), corr
+        # wrong key must not correlate
+        deg_bad = DeCorrShuffler(key=99)
+        corr_bad = np.asarray(deg_bad.correlation_batch(planes))
+        assert (corr_bad < 0.1).all(), corr_bad
+        # unmarked frames must not correlate
+        planes0 = codec.extract_frames(jnp.asarray(frames))
+        corr0 = np.asarray(deg.correlation_batch(planes0))
+        assert (corr0 < 0.1).all(), corr0
+
+    def test_imperceptibility(self, rng):
+        codec = DtcwtKey()
+        frames = natural_frames(rng, b=1, h=240, w=320)
+        wm = CorrShuffler(key=3).generate_wm(None, codec.wm_capacity((240, 320, 3)))
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm)))
+        psnr = 10 * np.log10(255**2 / np.mean((marked.astype(float) - frames.astype(float)) ** 2))
+        assert psnr > 35, psnr
+
+
+class TestDtcwtImgCodec:
+    def test_image_roundtrip(self, rng):
+        codec = DtcwtImg()
+        frames = natural_frames(rng, b=1, h=480, w=640)
+        cap = codec.wm_capacity((480, 640, 3))
+        img = (rng.rand(27, 48) > 0.5).astype(np.float32) * 255
+        gen = BlockShuffler(key=5)
+        wm = gen.generate_wm(img, cap)
+        marked = codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32))
+        planes = np.asarray(codec.extract_frames(marked))
+        deg = DeBlockShuffler(key=5).set_shape(img.shape)
+        want = (img > 127).astype(np.uint8)
+        # generator <-> degenerator chain alone is exact
+        ideal = deg.degenerate(np.asarray(wm, np.float32))
+        np.testing.assert_array_equal((ideal > ideal.mean()).astype(np.uint8), want)
+        # through the codec: the decoder inverts a zero-lowpass 1-level
+        # pyramid (reference: dtcwt_img_decoder.py:34-38), so the +-255
+        # blocky watermark loses its local DC — ~0.8 pixel agreement is the
+        # algorithm family's ceiling, not an implementation gap.
+        rec = deg.degenerate(planes[0])
+        got = (rec > rec.mean()).astype(np.uint8)
+        agreement = (got == want).mean()
+        assert agreement > 0.75, agreement

@@ -1,0 +1,277 @@
+"""2-D dual-tree complex wavelet transform (DT-CWT) in JAX.
+
+The reference uses the ``dtcwt`` package's Transform2d/Pyramid
+(reference: src/offmark/embed/dtcwt_key_encoder.py:13-26,
+extract/dtcwt_key_decoder.py:13-38).  That package is pure NumPy and
+unavailable here, so this is a ground-up implementation with the same
+*semantics* the codecs rely on:
+
+* ``forward(x, nlevels)`` -> Pyramid with ``highpasses[lev]`` of shape
+  [..., H/2^(lev+1), W/2^(lev+1), 6] complex64 (6 directional subbands) and
+  an interleaved real ``lowpass`` of twice the final highpass dims.
+* ``inverse(Pyramid)`` reconstructs exactly (PR verified in tests), including
+  the decoders' 1-level pyramid with a zero lowpass.
+
+Design choices (documented deviations — the system is self-consistent, and
+no dtcwt-marked media exists to interoperate with):
+
+* circular (periodic) signal extension instead of symmetric — makes perfect
+  reconstruction *exact* for any filter pair; differs from the package only
+  in boundary coefficients.
+* level 1: LeGall 5/3 biorthogonal pair (exact rational PR filters), tree B
+  = one-sample-delayed sampling phase.
+* levels >= 2: an even-length orthonormal q-shift filter designed numerically
+  (tools/design_dtcwt.py) for ~1/4-sample group delay; tree B = time reverse.
+* the 6 subbands are the unitary (q2c) combinations of the 4 row/col tree
+  mixes of LH/HL/HH; ordering [LH+, LH-, HL+, HL-, HH+, HH-].
+
+Everything is batched over leading axes and jit-friendly (static shapes,
+no data-dependent control flow).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dtcwt_coeffs as C
+
+
+# ---------------------------------------------------------------------------
+# 1-D circular filter bank primitives (last axis)
+# ---------------------------------------------------------------------------
+
+def _corr_valid(x: jnp.ndarray, w: np.ndarray, stride: int) -> jnp.ndarray:
+    """VALID correlation along the last axis, arbitrary leading dims."""
+    lead = x.shape[:-1]
+    n = x.shape[-1]
+    xr = x.reshape(-1, 1, n)
+    rhs = jnp.asarray(w, x.dtype).reshape(1, 1, -1)
+    out = jax.lax.conv_general_dilated(
+        xr, rhs, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCH", "IOH", "NCH"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.reshape(*lead, -1)
+
+
+def _circ_window(x: jnp.ndarray, start: int, length: int) -> jnp.ndarray:
+    """x tiled circularly, then [start : start + length] with start possibly
+    negative — works for any filter length vs signal length."""
+    n = x.shape[-1]
+    reps = (abs(start) // n + 1) + (start + length) // n + 1
+    base = (abs(start) // n + 1) * n
+    xt = jnp.concatenate([x] * reps, axis=-1)
+    return jax.lax.slice_in_dim(xt, base + start, base + start + length, axis=-1)
+
+
+def down2(x: jnp.ndarray, f: np.ndarray, phase: int) -> jnp.ndarray:
+    """y[m] = sum_k f[k] * x[(2m + phase - k) mod N]; [..., N] -> [..., N/2]."""
+    n = x.shape[-1]
+    L = len(f)
+    xp = _circ_window(x, phase - (L - 1), n + L - 1)
+    return _corr_valid(xp, np.asarray(f)[::-1].copy(), 2)
+
+
+def up2(y: jnp.ndarray, f: np.ndarray, phase: int) -> jnp.ndarray:
+    """x[n] = sum_k f[k] * y2[(n - k) mod N], y2 = zeros; y2[phase::2] = y."""
+    n2 = y.shape[-1]
+    n = 2 * n2
+    L = len(f)
+    y2 = jnp.zeros((*y.shape[:-1], n), y.dtype).at[..., phase::2].set(y)
+    yp = _circ_window(y2, -(L - 1), n + L - 1)
+    return _corr_valid(yp, np.asarray(f)[::-1].copy(), 1)
+
+
+def _along_rows(fn, x, *args):
+    """Apply a last-axis op along axis -2."""
+    return jnp.swapaxes(fn(jnp.swapaxes(x, -1, -2), *args), -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# Per-tree 2-D analysis / synthesis (one level)
+# ---------------------------------------------------------------------------
+
+def _analysis2d(x, h0, h1, row_phase, col_phase):
+    """One 2-D DWT level -> (ll, lh, hl, hh), each [..., H/2, W/2]."""
+    lo = _along_rows(down2, x, h0, row_phase)
+    hi = _along_rows(down2, x, h1, row_phase)
+    ll = down2(lo, h0, col_phase)
+    lh = down2(lo, h1, col_phase)
+    hl = down2(hi, h0, col_phase)
+    hh = down2(hi, h1, col_phase)
+    return ll, lh, hl, hh
+
+
+def _synthesis2d(ll, lh, hl, hh, g0, g1, row_phase, col_phase, roll_r, roll_c):
+    lo = up2(ll, g0, col_phase) + up2(lh, g1, col_phase)
+    hi = up2(hl, g0, col_phase) + up2(hh, g1, col_phase)
+    x = _along_rows(up2, lo, g0, row_phase) + _along_rows(up2, hi, g1, row_phase)
+    x = jnp.roll(x, roll_c, axis=-1)
+    return jnp.roll(x, roll_r, axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# q2c / c2q: 4 real tree-mix subbands <-> 2 complex directional subbands
+# ---------------------------------------------------------------------------
+
+def _q2c(aa, ab, ba, bb):
+    zp = ((aa - bb) + 1j * (ab + ba)) * 0.5
+    zm = ((aa + bb) + 1j * (ab - ba)) * 0.5
+    return zp.astype(jnp.complex64), zm.astype(jnp.complex64)
+
+
+def _c2q(zp, zm):
+    aa = jnp.real(zp) + jnp.real(zm)
+    bb = jnp.real(zm) - jnp.real(zp)
+    ab = jnp.imag(zp) + jnp.imag(zm)
+    ba = jnp.imag(zp) - jnp.imag(zm)
+    return aa, ab, ba, bb
+
+
+# ---------------------------------------------------------------------------
+# Public transform
+# ---------------------------------------------------------------------------
+
+_TREES = ((0, 0), (0, 1), (1, 0), (1, 1))  # (row_tree, col_tree); 0=a, 1=b
+
+
+@dataclass
+class Pyramid:
+    """dtcwt-compatible container: real lowpass + per-level complex highpasses."""
+
+    lowpass: jnp.ndarray  # [..., 2h, 2w] interleaved tree lowpasses
+    highpasses: tuple  # tuple over levels of [..., h, w, 6] complex64
+
+
+def _pad_even(x):
+    """Replicate-pad the trailing two axes to even sizes; returns (x, (H, W))."""
+    h, w = x.shape[-2], x.shape[-1]
+    if h % 2:
+        x = jnp.concatenate([x, x[..., -1:, :]], axis=-2)
+    if w % 2:
+        x = jnp.concatenate([x, x[..., :, -1:]], axis=-1)
+    return x, (h, w)
+
+
+class Transform2d:
+    """Drop-in for dtcwt.Transform2d (forward/inverse), batched over leading axes."""
+
+    def forward(self, x, nlevels: int = 3) -> Pyramid:
+        x = jnp.asarray(x, jnp.float32)
+        squeeze = x.ndim == 2
+        if squeeze:
+            x = x[None]
+        highs = []
+        sizes = []
+        x, orig = _pad_even(x)
+        sizes.append(orig)
+        # Level 1: same biorthogonal filters, tree = sampling phase.
+        ll = {}
+        subs = {}
+        for rt, ct in _TREES:
+            l, lh, hl, hh = _analysis2d(x, C.LEGALL_H0, C.LEGALL_H1, rt, ct)
+            ll[(rt, ct)] = l
+            subs[(rt, ct)] = (lh, hl, hh)
+        highs.append(self._combine(subs))
+        # Levels >= 2: per-tree q-shift filters, fixed phase 0.
+        for lev in range(1, nlevels):
+            subs = {}
+            lvl_sizes = None
+            for rt, ct in _TREES:
+                xi, o = _pad_even(ll[(rt, ct)])
+                lvl_sizes = o
+                h0r, h1r = (C.QSHIFT_H0A, C.QSHIFT_H1A) if rt == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+                h0c, h1c = (C.QSHIFT_H0A, C.QSHIFT_H1A) if ct == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+                lo = _along_rows(down2, xi, h0r, 0)
+                hi = _along_rows(down2, xi, h1r, 0)
+                l = down2(lo, h0c, 0)
+                lh = down2(lo, h1c, 0)
+                hl = down2(hi, h0c, 0)
+                hh = down2(hi, h1c, 0)
+                ll[(rt, ct)] = l
+                subs[(rt, ct)] = (lh, hl, hh)
+            sizes.append(lvl_sizes)
+            highs.append(self._combine(subs))
+        # Interleave the 4 tree lowpasses: row tree -> row phase, col tree -> col phase.
+        h2, w2 = ll[(0, 0)].shape[-2], ll[(0, 0)].shape[-1]
+        low = jnp.zeros((*ll[(0, 0)].shape[:-2], 2 * h2, 2 * w2), jnp.float32)
+        for (rt, ct), l in ll.items():
+            low = low.at[..., rt::2, ct::2].set(l)
+        pyr = Pyramid(lowpass=low[0] if squeeze else low,
+                      highpasses=tuple(h[0] if squeeze else h for h in highs))
+        pyr._sizes = sizes  # original (pre-pad) sizes per level, for inverse
+        return pyr
+
+    @staticmethod
+    def _combine(subs):
+        out = []
+        for i in range(3):  # LH, HL, HH
+            aa = subs[(0, 0)][i]
+            ab = subs[(0, 1)][i]
+            ba = subs[(1, 0)][i]
+            bb = subs[(1, 1)][i]
+            zp, zm = _q2c(aa, ab, ba, bb)
+            out += [zp, zm]
+        return jnp.stack(out, axis=-1)  # [..., h, w, 6]
+
+    def inverse(self, pyr: Pyramid) -> jnp.ndarray:
+        highs = pyr.highpasses
+        low = jnp.asarray(pyr.lowpass, jnp.float32)
+        squeeze = low.ndim == 2
+        if squeeze:
+            low = low[None]
+            highs = tuple(h[None] for h in highs)
+        nlevels = len(highs)
+        sizes = getattr(pyr, "_sizes", None)
+        # Split interleaved lowpass back into per-tree arrays.
+        ll = {(rt, ct): low[..., rt::2, ct::2] for rt, ct in _TREES}
+        for lev in range(nlevels - 1, 0, -1):
+            subs = self._split(highs[lev])
+            for rt, ct in _TREES:
+                lh, hl, hh = subs[(rt, ct)]
+                g0r, g1r = (C.QSHIFT_G0A, C.QSHIFT_G1A) if rt == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
+                g0c, g1c = (C.QSHIFT_G0A, C.QSHIFT_G1A) if ct == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
+                rr = C.QSHIFT_ROLL_A if rt == 0 else C.QSHIFT_ROLL_B
+                rc = C.QSHIFT_ROLL_A if ct == 0 else C.QSHIFT_ROLL_B
+                lo = up2(ll[(rt, ct)], g0c, 0) + up2(lh, g1c, 0)
+                hi = up2(hl, g0c, 0) + up2(hh, g1c, 0)
+                lo = jnp.roll(lo, rc, axis=-1)
+                hi = jnp.roll(hi, rc, axis=-1)
+                x = _along_rows(up2, lo, g0r, 0) + _along_rows(up2, hi, g1r, 0)
+                x = jnp.roll(x, rr, axis=-2)
+                if sizes is not None:
+                    oh, ow = sizes[lev]
+                    x = x[..., :oh, :ow]
+                ll[(rt, ct)] = x
+        # Level 1 inverse.
+        subs = self._split(highs[0])
+        out = 0.0
+        for rt, ct in _TREES:
+            lh, hl, hh = subs[(rt, ct)]
+            x = _synthesis2d(
+                ll[(rt, ct)], lh, hl, hh, C.LEGALL_G0, C.LEGALL_G1,
+                rt, ct, C.LEGALL_ROLL, C.LEGALL_ROLL,
+            )
+            out = out + x
+        out = out * 0.25  # 4 trees average at level 1
+        if sizes is not None:
+            oh, ow = sizes[0]
+            out = out[..., :oh, :ow]
+        return out[0] if squeeze else out
+
+    @staticmethod
+    def _split(high):
+        subs = {}
+        vals = [high[..., i] for i in range(6)]
+        for i, name in enumerate(range(3)):
+            aa, ab, ba, bb = _c2q(vals[2 * i], vals[2 * i + 1])
+            subs.setdefault((0, 0), []).append(aa)
+            subs.setdefault((0, 1), []).append(ab)
+            subs.setdefault((1, 0), []).append(ba)
+            subs.setdefault((1, 1), []).append(bb)
+        return {k: tuple(v) for k, v in subs.items()}

@@ -1,0 +1,155 @@
+"""DT-CWT watermark codecs (key/spread-spectrum and image variants).
+
+Reference algorithms (reference: src/offmark/embed/dtcwt_key_encoder.py,
+dtcwt_img_encoder.py, extract/dtcwt_key_decoder.py, dtcwt_img_decoder.py):
+3-level DT-CWT of the U and Y channels; 6 per-subband perceptual masks from
+the 2x2-mean-filtered |level-2 Y highpasses|, rebinned to the level-3 grid
+and quantized by ``step``; the watermark's level-1 DT-CWT highpasses are
+replicated into the 4 corners of each level-3 subband and added scaled by
+``alpha * mask``.  Decoding divides the marked level-3 U highpasses by
+``mask * alpha``, folds the 4 corner replicas, and inverts a 1-level pyramid
+with a zero lowpass.
+
+The DT-CWT itself is this framework's own (ops/dtcwt.py — see its module
+docstring for documented deviations from the ``dtcwt`` package); all codec
+math on top mirrors the reference formulas, batched over frames.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..ops.color import bgr_to_yuv, yuv_to_bgr, M_BWD
+from ..ops.dtcwt import Pyramid, Transform2d
+from ..ops.filters import filter2d_mean2x2, rebin_mean
+
+
+def infer_wm_shape(img_shape):
+    """Watermark plane dims for a frame (reference: dtcwt_key_encoder.py:46-53)."""
+    h = (((img_shape[0] + 1) // 2 + 1) // 2 + 1) // 2
+    w = (((img_shape[1] + 1) // 2 + 1) // 2 + 1) // 2
+    return (h + h % 2, w + w % 2)
+
+
+def _corner_replicate(coeff: jnp.ndarray, shape) -> jnp.ndarray:
+    """Place [..., h, w] coeffs into the 4 corners of a [..., H, W] zero plane
+    (reference: dtcwt_key_encoder.py:36-42); overlaps add like the
+    sequential corner writes? No — the reference *assigns*, so later corners
+    overwrite earlier ones where they overlap.  Replicated here with
+    assignment order [:h,:w], [-h:,:w], [:h,-w:], [-h:,-w:]."""
+    h, w = coeff.shape[-2], coeff.shape[-1]
+    out = jnp.zeros((*coeff.shape[:-2], *shape), coeff.dtype)
+    out = out.at[..., :h, :w].set(coeff)
+    out = out.at[..., -h:, :w].set(coeff)
+    out = out.at[..., :h, -w:].set(coeff)
+    out = out.at[..., -h:, -w:].set(coeff)
+    return out
+
+
+def _fold_corners(coeff: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Sum the 4 corner [h, w] windows (reference: dtcwt_key_decoder.py:31-33)."""
+    return (
+        coeff[..., :h, :w]
+        + coeff[..., :h, -w:]
+        + coeff[..., -h:, :w]
+        + coeff[..., -h:, -w:]
+    )
+
+
+@dataclass(frozen=True)
+class _DtcwtBase:
+    alpha: float = 10.0
+    step: float = 5.0
+    nlevels: int = 3
+    normalize_masks: bool = False  # True for the img variant
+
+    def wm_capacity(self, frame_shape):
+        return infer_wm_shape(frame_shape)
+
+    # -- watermark spectrum -------------------------------------------------
+    def wm_highpass(self, wm: jnp.ndarray) -> jnp.ndarray:
+        """Level-1 DT-CWT highpasses of the watermark plane [h, w] -> [h/2, w/2, 6]
+        (reference: dtcwt_key_encoder.py:12-15)."""
+        t = Transform2d()
+        return t.forward(jnp.asarray(wm, jnp.float32), nlevels=1).highpasses[0]
+
+    def _masks3(self, y: jnp.ndarray, shape3) -> jnp.ndarray:
+        """[B, H, W] Y channel -> [B, h3, w3, 6] per-subband masks
+        (reference: dtcwt_key_encoder.py:29-33, dtcwt_img_encoder.py:31-35)."""
+        t = Transform2d()
+        yc = t.forward(y, nlevels=self.nlevels)
+        hp2 = jnp.abs(yc.highpasses[1])  # [B, h2, w2, 6]
+        hp2 = jnp.moveaxis(hp2, -1, 1)  # [B, 6, h2, w2]
+        m = filter2d_mean2x2(hp2)
+        m = rebin_mean(m, shape3)
+        m = jnp.ceil(m / self.step)
+        if self.normalize_masks:
+            mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+            m = m / jnp.maximum(12.0, mx)
+        return jnp.moveaxis(m, 1, -1)  # [B, h3, w3, 6]
+
+    # -- channel-level embed/decode ------------------------------------------
+    def _embed_channel(self, y: jnp.ndarray, u: jnp.ndarray, wm_hp: jnp.ndarray) -> jnp.ndarray:
+        t = Transform2d()
+        uc = t.forward(u, nlevels=self.nlevels)
+        h3 = uc.highpasses[self.nlevels - 1]
+        masks = self._masks3(y, (h3.shape[-3], h3.shape[-2]))
+        wm_plane = _corner_replicate(
+            jnp.moveaxis(wm_hp, -1, 0), (h3.shape[-3], h3.shape[-2])
+        )  # [6, h3, w3]
+        wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
+        new_h3 = h3 + self.alpha * masks.astype(h3.dtype) * wm_plane
+        highs = tuple(
+            new_h3 if lev == self.nlevels - 1 else uc.highpasses[lev]
+            for lev in range(self.nlevels)
+        )
+        pyr = Pyramid(lowpass=uc.lowpass, highpasses=highs)
+        pyr._sizes = uc._sizes
+        return t.inverse(pyr)
+
+    def _decode_channel(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        t = Transform2d()
+        uc = t.forward(u, nlevels=self.nlevels)
+        h3 = uc.highpasses[self.nlevels - 1]
+        masks = self._masks3(y, (h3.shape[-3], h3.shape[-2]))
+        masks = jnp.where(masks == 0, 0.01, masks)
+        coeff = h3 / masks.astype(h3.dtype) / self.alpha
+        hh, ww = (h3.shape[-3] + 1) // 2, (h3.shape[-2] + 1) // 2
+        folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)  # [B, 6, hh, ww]
+        folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
+        low = jnp.zeros((u.shape[0], hh * 2, ww * 2), jnp.float32)
+        return t.inverse(Pyramid(lowpass=low, highpasses=(folded,)))
+
+    # -- uint8 frame API -------------------------------------------------------
+    def mark_frames(self, frames: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] uint8 + watermark plane [h, w] -> marked uint8."""
+        wm_hp = self.wm_highpass(wm)
+        yuv = bgr_to_yuv(frames.astype(jnp.float32))
+        u = yuv[..., 1]
+        u_new = self._embed_channel(yuv[..., 0], u, wm_hp)
+        marked = yuv_to_bgr(yuv) + (u_new - u)[..., None] * jnp.asarray(M_BWD[:, 1])
+        return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
+
+    def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
+        """[B, H, W, 3] uint8 -> recovered watermark planes [B, h, w]."""
+        yuv = bgr_to_yuv(frames.astype(jnp.float32))
+        return self._decode_channel(yuv[..., 0], yuv[..., 1])
+
+
+@dataclass(frozen=True)
+class DtcwtKey(_DtcwtBase):
+    """Keyed spread-spectrum variant (reference default_scale=10,
+    dtcwt_key_encoder.py:7-10); pairs with CorrShuffler/DeCorrShuffler."""
+
+    alpha: float = 10.0
+
+
+@dataclass(frozen=True)
+class DtcwtImg(_DtcwtBase):
+    """Visible-image variant (reference default_scale=1.5 + mask
+    normalization, dtcwt_img_encoder.py:9,34); pairs with BlockShuffler."""
+
+    alpha: float = 1.5
+    normalize_masks: bool = True

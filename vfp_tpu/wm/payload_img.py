@@ -1,0 +1,169 @@
+"""Spread-spectrum and block-scrambled image payload codecs for DT-CWT.
+
+Mirrors the reference pairs CorrShuffler/DeCorrShuffler (presence-only keyed
++-1 plane, normalized-correlation detector, reference:
+src/offmark/generator/corr_shuffler.py, degenerator/de_corr_shuffler.py) and
+BlockShuffler/DeBlockShuffler (keyed block-permuted image, reference:
+generator/block_shuffler.py, degenerator/de_block_shuffler.py).
+
+Generation is host-side NumPy/cv2 (identical keyed RandomState semantics and
+cv2.resize bilinear); correlation detection has a batched jnp path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def _keyed_pm1_plane(key, shape=(1080, 1920)) -> np.ndarray:
+    wm = np.random.RandomState(key).randint(0, 2, shape).astype(np.float32)
+    wm[wm == 0] = -1
+    return wm
+
+
+class CorrShuffler:
+    """Presence-only keyed +-1 plane resized to capacity; payload ignored
+    (reference: corr_shuffler.py:14-28)."""
+
+    wm_kind = "bits"
+
+    def __init__(self, key=None):
+        self.key = key
+
+    @staticmethod
+    def wm_type() -> str:
+        return "bits"
+
+    def generate_wm(self, payload, capacity, shape=(1080, 1920)) -> np.ndarray:
+        import cv2
+
+        wm = _keyed_pm1_plane(self.key, shape)
+        return cv2.resize(wm, (capacity[1], capacity[0]))
+
+
+class DeCorrShuffler:
+    """Normalized-correlation presence detector (reference:
+    de_corr_shuffler.py:14-30); threshold corr > 0.1."""
+
+    def __init__(self, key=None, threshold: float = 0.1):
+        self.key = key
+        self.threshold = threshold
+        self._ref_cache = {}
+
+    def set_shape(self, payload_shape):
+        return self
+
+    def _reference(self, shape) -> np.ndarray:
+        if shape not in self._ref_cache:
+            import cv2
+
+            wmk = _keyed_pm1_plane(self.key)
+            self._ref_cache[shape] = cv2.resize(wmk, (shape[1], shape[0]))
+        return self._ref_cache[shape]
+
+    def correlation_batch(self, wm: jnp.ndarray) -> jnp.ndarray:
+        """[B, h, w] recovered planes -> [B] normalized correlations
+        ('fast' mode of the reference)."""
+        ref = jnp.asarray(self._reference((wm.shape[-2], wm.shape[-1])))
+        n = wm.shape[-2] * wm.shape[-1]
+        wmn = (wm - wm.mean(axis=(-2, -1), keepdims=True)) / wm.std(axis=(-2, -1), keepdims=True)
+        refn = (ref - ref.mean()) / ref.std()
+        return jnp.sum(wmn * refn, axis=(-2, -1)) / n
+
+    def degenerate_batch(self, wm: jnp.ndarray) -> jnp.ndarray:
+        """[B, h, w] -> [B, 1] uint8 presence flags."""
+        corr = self.correlation_batch(wm)
+        return (corr > self.threshold).astype(jnp.uint8)[:, None]
+
+    def degenerate(self, wm, mode: str = "fast") -> bool:
+        if mode == "slow":
+            from scipy.signal import correlate2d
+
+            wmk = self._reference((wm.shape[0], wm.shape[1]))
+            c = correlate2d(np.asarray(wm), wmk) / (wm.shape[0] * wm.shape[1])
+            corr = float(c.max())
+        else:
+            corr = float(self.correlation_batch(jnp.asarray(np.asarray(wm))[None])[0])
+        return corr > self.threshold
+
+
+class BlockShuffler:
+    """Keyed block-scrambled image payload (reference: block_shuffler.py)."""
+
+    wm_kind = "grayscale"
+
+    def __init__(self, key=None, blk_shape=(35, 30)):
+        self.key = key
+        self.blk_shape = blk_shape
+
+    @staticmethod
+    def wm_type() -> str:
+        return "grayscale"
+
+    def randomize_channel(self, channel: np.ndarray, key, blk_shape=(8, 8)) -> np.ndarray:
+        rows = channel.shape[0] // blk_shape[0] * blk_shape[0]
+        cols = channel.shape[1] // blk_shape[1] * blk_shape[1]
+        blks = np.array(
+            [
+                [channel[i : i + blk_shape[0], j : j + blk_shape[1]]
+                 for j in range(0, cols, blk_shape[1])]
+                for i in range(0, rows, blk_shape[0])
+            ]
+        )
+        shape = blks.shape
+        flat = blks.reshape(-1, blk_shape[0], blk_shape[1])
+        np.random.RandomState(key).shuffle(flat)
+        out = np.copy(channel)
+        out[:rows, :cols] = np.concatenate(np.concatenate(flat.reshape(shape), 1), 1)
+        return out
+
+    def generate_wm(self, payload: np.ndarray, capacity, shape=(135, 240)) -> np.ndarray:
+        import cv2
+
+        wm = cv2.resize(np.asarray(payload, np.float32), (shape[1], shape[0]))
+        wm = self.randomize_channel(wm, self.key, self.blk_shape)
+        wm = cv2.resize(wm, (capacity[1], capacity[0]))
+        wm = (wm > 127).astype(np.uint8) * 255
+        wm = wm.astype(np.int32)
+        wm[wm != 255] = -255
+        return wm
+
+
+class DeBlockShuffler:
+    """Inverse block permutation + resize back (reference: de_block_shuffler.py)."""
+
+    def __init__(self, key=None, blk_shape=(35, 30)):
+        self.key = key
+        self.blk_shape = blk_shape
+
+    def set_shape(self, payload_shape):
+        self.payload_shape = tuple(payload_shape)
+        return self
+
+    def derandomize_channel(self, channel: np.ndarray, key, blk_shape=(8, 8)) -> np.ndarray:
+        rows = channel.shape[0] // blk_shape[0] * blk_shape[0]
+        cols = channel.shape[1] // blk_shape[1] * blk_shape[1]
+        blks = np.array(
+            [
+                [channel[i : i + blk_shape[0], j : j + blk_shape[1]]
+                 for j in range(0, cols, blk_shape[1])]
+                for i in range(0, rows, blk_shape[0])
+            ]
+        )
+        shape = blks.shape
+        flat = blks.reshape(-1, blk_shape[0], blk_shape[1])
+        idx = np.arange(flat.shape[0])
+        np.random.RandomState(key).shuffle(idx)
+        res = np.zeros_like(flat)
+        res[idx] = flat
+        out = np.copy(channel)
+        out[:rows, :cols] = np.concatenate(np.concatenate(res.reshape(shape), 1), 1)
+        return out
+
+    def degenerate(self, wm, shape=(135, 240)) -> np.ndarray:
+        import cv2
+
+        x = cv2.resize(np.asarray(wm, np.float32), (shape[1], shape[0]))
+        x = self.derandomize_channel(x, self.key, self.blk_shape)
+        return cv2.resize(x, (self.payload_shape[1], self.payload_shape[0]))
