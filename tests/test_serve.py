@@ -1,0 +1,131 @@
+"""HTTP service tests: real server on an ephemeral port, driven via urllib."""
+
+import json
+import threading
+import urllib.request
+import uuid
+
+import numpy as np
+import pytest
+
+from vfp_tpu.io import RawVideoWriter
+from vfp_tpu.serve.app import make_server
+
+from test_dwt_dct_svd import natural_frames
+
+
+def _req(base, path, data=None, headers=None, method=None):
+    req = urllib.request.Request(
+        base + path, data=data, headers=headers or {}, method=method
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def _multipart(field, filename, payload):
+    boundary = uuid.uuid4().hex
+    body = (
+        f"--{boundary}\r\nContent-Disposition: form-data; "
+        f'name="{field}"; filename="{filename}"\r\n'
+        f"Content-Type: application/octet-stream\r\n\r\n"
+    ).encode() + payload + f"\r\n--{boundary}--\r\n".encode()
+    return body, {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    data_dir = tmp_path_factory.mktemp("serve")
+    srv = make_server("127.0.0.1", 0, data_dir, num_copies=2, segment_duration=1.0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, data_dir
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def uploaded(server, tmp_path_factory):
+    base, data_dir = server
+    rng = np.random.RandomState(21)
+    src = tmp_path_factory.mktemp("vid") / "src.rawv"
+    with RawVideoWriter(src, 96, 64, fps=6) as w:
+        w.write_batch(natural_frames(rng, b=12, h=64, w=96))
+    body, headers = _multipart("file", "src.rawv", src.read_bytes())
+    status, resp, _ = _req(base, "/upload", body, headers, "POST")
+    assert status == 200
+    return json.loads(resp)
+
+
+class TestPages:
+    def test_html_pages(self, server):
+        base, _ = server
+        for path in ("/", "/upload", "/view", "/detect"):
+            status, body, _ = _req(base, path)
+            assert status == 200 and b"<html>" in body
+
+    def test_missing_view_404(self, server):
+        base, _ = server
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, "/view/nonexistent")
+        assert e.value.code == 404
+
+
+class TestWorkflow:
+    def test_upload_processed(self, uploaded):
+        assert uploaded["status"] == "success"
+        assert uploaded["num_segments"] == 2
+        assert uploaded["total_variants"] == 4
+
+    def test_start_view_and_playlists(self, server, uploaded):
+        base, _ = server
+        views = []
+        for name in ("alice", "bob", "carol"):
+            status, resp, _ = _req(
+                base, "/start-view",
+                json.dumps({"username": name}).encode(),
+                {"Content-Type": "application/json"}, "POST",
+            )
+            assert status == 200
+            views.append(json.loads(resp))
+        assert [v["view_number"] for v in views] == [0, 1, 2]
+        # per-view playlists select distinct variant sequences
+        playlists = []
+        for v in views:
+            status, m3u8, _ = _req(base, f"/view/{v['view_id']}")
+            assert status == 200
+            assert m3u8.startswith(b"#EXTM3U")
+            playlists.append(m3u8)
+        assert len(set(playlists)) == 3
+        # view 1 (base-2 pattern [0,1]) plays seg0 copy0 + seg1 copy1
+        assert b"marked_seg000_copy0" in playlists[1]
+        assert b"marked_seg001_copy1" in playlists[1]
+
+    def test_hls_files_served(self, server, uploaded):
+        base, data_dir = server
+        status, data, headers = _req(base, "/hls/playlist.m3u8")
+        assert status == 200
+        name = next(f.name for f in (data_dir / "hls").iterdir() if "copy" in f.name)
+        status, seg, _ = _req(base, f"/hls/{name}")
+        assert status == 200 and len(seg) > 1000
+
+    def test_detect_identifies_viewer(self, server, uploaded):
+        base, data_dir = server
+        # leak: bob's (view 1, pattern [0,1]) segment 1 = copy 1
+        leaked = next(
+            f for f in (data_dir / "hls").iterdir() if "seg001_copy1" in f.name
+        )
+        body, headers = _multipart("file", leaked.name, leaked.read_bytes())
+        status, resp, _ = _req(base, "/detect", body, headers, "POST")
+        data = json.loads(resp)
+        assert data["status"] == "success", data
+        assert data["segment_number"] == 1 and data["copy_index"] == 1
+        users = {m["username"] for m in data["matches"]}
+        assert "bob" in users and "alice" not in users
+
+    def test_download_view(self, server, uploaded):
+        base, _ = server
+        status, resp, _ = _req(base, "/view-history")
+        history = json.loads(resp)
+        vid = next(k for k, v in history.items() if v["username"] == "alice")
+        status, data, headers = _req(base, f"/download-view/{vid}")
+        assert status == 200 and len(data) > 1000
