@@ -1,0 +1,88 @@
+"""Config factory, profiling utils, and new CLI surfaces (test-frame, codecs,
+resume)."""
+
+import cv2
+import numpy as np
+import pytest
+
+from vfp_tpu.cli.__main__ import main
+from vfp_tpu.utils import VfpConfig, StageTimer
+from vfp_tpu.wm import DwtDctSvd, DctQim, DtcwtKey, DtcwtImg
+
+from test_dwt_dct_svd import natural_frames
+
+
+class TestConfig:
+    def test_codec_factory(self):
+        cfg = VfpConfig()
+        assert isinstance(cfg.make_codec("dwtDctSvd"), DwtDctSvd)
+        assert isinstance(cfg.make_codec("dct"), DctQim)
+        assert isinstance(cfg.make_codec("dtcwtKey"), DtcwtKey)
+        assert isinstance(cfg.make_codec("dtcwtImg"), DtcwtImg)
+        with pytest.raises(ValueError):
+            cfg.make_codec("nope")
+
+    def test_roundtrip_dict(self):
+        cfg = VfpConfig()
+        cfg2 = VfpConfig.from_dict(cfg.to_dict())
+        assert cfg2.workflow.copies == 3
+        assert tuple(cfg2.codec.scales) == (0.0, 15.0, 0.0)
+
+    def test_stage_timer(self):
+        t = StageTimer()
+        with t.stage("x", items=10):
+            pass
+        rep = t.report()
+        assert rep["x"]["items"] == 10
+
+
+@pytest.fixture(scope="module")
+def image_file(tmp_path_factory):
+    rng = np.random.RandomState(77)
+    p = tmp_path_factory.mktemp("img") / "frame.png"
+    cv2.imwrite(str(p), natural_frames(rng, b=1, h=96, w=128)[0])
+    return p
+
+
+class TestTestFrame:
+    def test_bits_roundtrip(self, image_file, tmp_path, capsys):
+        main(["test-frame", str(image_file), str(tmp_path), "--payload", "01100101"])
+        out = capsys.readouterr().out
+        assert "recovered payload: 01100101" in out
+        assert (tmp_path / "output.jpeg").exists()
+        assert (tmp_path / "diff.jpeg").exists()
+
+    def test_dct_codec(self, image_file, tmp_path, capsys):
+        # dct-qim masks are recomputed from the JPEG-quantized Y channel, so
+        # the codec needs a higher-quality carrier than dwtDctSvd
+        main(["test-frame", str(image_file), str(tmp_path), "--codec", "dct",
+              "--quality", "98"])
+        out = capsys.readouterr().out
+        assert "recovered payload: 01100101" in out
+
+    def test_dtcwt_key_presence(self, image_file, tmp_path, capsys):
+        main(["test-frame", str(image_file), str(tmp_path), "--codec", "dtcwtKey"])
+        out = capsys.readouterr().out
+        assert "watermark present: True" in out
+
+
+class TestResume:
+    def test_hls_mark_resume_skips(self, tmp_path, capsys):
+        from vfp_tpu.io import RawVideoWriter
+
+        rng = np.random.RandomState(31)
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=12, h=64, w=96))
+        base = tmp_path / "out"
+        args = ["hls-mark", str(src), str(base), "--copies", "2",
+                "--segment-duration", "1", "--batch-size", "8"]
+        main(args)
+        capsys.readouterr()
+        marked = sorted((base / "marked_segments").iterdir())
+        mtimes = {f.name: f.stat().st_mtime_ns for f in marked}
+        main(args + ["--resume"])
+        out = capsys.readouterr().out
+        assert "All segments were watermarked successfully!" in out
+        for f in sorted((base / "marked_segments").iterdir()):
+            assert f.stat().st_mtime_ns == mtimes[f.name], f  # untouched

@@ -29,32 +29,132 @@ def _payload_bits(s: str) -> np.ndarray:
     return np.array([int(c) for c in s])
 
 
+def _make_generator(codec_name: str, key: int):
+    """Generator/degenerator pair valid for a codec (reference pairings:
+    tests/test.py:59)."""
+    from ..wm import (
+        BlockShuffler,
+        CorrShuffler,
+        DeBlockShuffler,
+        DeCorrShuffler,
+        DeShuffler,
+        Shuffler,
+    )
+
+    name = codec_name.lower()
+    if name in ("dtcwtkey", "dtcwt_key"):
+        return CorrShuffler(key=key), DeCorrShuffler(key=key)
+    if name in ("dtcwtimg", "dtcwt_img"):
+        return BlockShuffler(key=key), DeBlockShuffler(key=key)
+    return Shuffler(key=key), DeShuffler(key=key, threshold="fixed")
+
+
 def cmd_mark(args):
+    import numpy as np
     from ..io import open_reader, open_writer
     from ..pipeline import Embedder, FrameMarker
-    from ..wm import DwtDctSvd, Shuffler
+    from ..utils import VfpConfig
 
-    payload = _payload_bits(args.payload)
+    codec = VfpConfig().make_codec(args.codec)
+    generator, _ = _make_generator(args.codec, args.key)
+    if args.wm_image:
+        import cv2
+
+        payload = cv2.imread(args.wm_image, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    else:
+        payload = _payload_bits(args.payload)
     reader = open_reader(args.input)
-    codec = DwtDctSvd()
-    wm = Shuffler(key=args.key).generate_wm(payload, codec.wm_capacity((reader.height, reader.width, 3)))
+    wm = generator.generate_wm(payload, codec.wm_capacity((reader.height, reader.width, 3)))
     writer = open_writer(args.output, reader.width, reader.height, reader.fps, args.quality)
     stats = Embedder(reader, FrameMarker(codec, wm, args.batch_size), writer).start()
     print(f"marked {stats.frames} frames in {stats.seconds:.2f}s ({stats.fps:.1f} fps)")
 
 
 def cmd_detect(args):
+    import numpy as np
     from ..io import open_reader
     from ..pipeline import Extractor, FrameExtractor
-    from ..wm import DeShuffler, DwtDctSvd
+    from ..utils import VfpConfig
+    from ..wm import DeCorrShuffler
 
-    deg = DeShuffler(key=args.key, threshold=args.threshold).set_shape((args.payload_len,))
-    res = Extractor(open_reader(args.input), FrameExtractor(DwtDctSvd(), deg, args.batch_size)).start()
+    codec = VfpConfig().make_codec(args.codec)
+    _, deg = _make_generator(args.codec, args.key)
+    if hasattr(deg, "set_shape"):
+        deg.set_shape((args.payload_len,))
+    if isinstance(deg, DeCorrShuffler):
+        # presence detection: report per-frame correlations
+        reader = open_reader(args.input)
+        corrs = []
+        while True:
+            b = reader.read_batch(args.batch_size)
+            if b is None:
+                break
+            import jax.numpy as jnp
+
+            planes = codec.extract_frames(jnp.asarray(b))
+            corrs.extend(np.asarray(deg.correlation_batch(planes)).tolist())
+        reader.close()
+        present = sum(c > deg.threshold for c in corrs)
+        print(f"frames: {len(corrs)}")
+        print(f"watermark present in {present}/{len(corrs)} frames "
+              f"(mean correlation {np.mean(corrs):.3f})")
+        return
+    res = Extractor(open_reader(args.input), FrameExtractor(codec, deg, args.batch_size)).start()
     pattern, freq = res.majority()
     for i, p in enumerate(res.payloads):
         logging.getLogger("vfp_tpu.cli").info("frame %d: %s", i, p.tolist())
     print(f"frames: {res.frames} ({res.fps:.1f} fps)")
     print(f"majority payload: {''.join(map(str, pattern))} (frequency {freq:.2f})")
+
+
+def cmd_test_frame(args):
+    """Single-image roundtrip (reference workflow: tests/test.py): embed into
+    one image, write output + amplified diff, read back, decode, report."""
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+    from ..utils import VfpConfig
+    from ..wm import DeCorrShuffler
+
+    codec = VfpConfig().make_codec(args.codec)
+    generator, deg = _make_generator(args.codec, args.key)
+    frame = cv2.imread(args.image, cv2.IMREAD_COLOR)
+    if frame is None:
+        raise SystemExit(f"cannot read image: {args.image}")
+    if args.wm_image:
+        payload = cv2.imread(args.wm_image, cv2.IMREAD_GRAYSCALE).astype(np.float32)
+    else:
+        payload = _payload_bits(args.payload)
+    cap = codec.wm_capacity(frame.shape)
+    wm = generator.generate_wm(payload, cap)
+    marked = np.asarray(
+        codec.mark_frames(jnp.asarray(frame[None]), jnp.asarray(np.asarray(wm), jnp.float32))
+    )[0]
+    out_dir = Path(args.out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cv2.imwrite(str(out_dir / "output.jpeg"), marked,
+                [cv2.IMWRITE_JPEG_QUALITY, args.quality])
+    diff = np.clip(
+        (marked.astype(np.int32) - frame.astype(np.int32)) * 10 + 128, 0, 255
+    ).astype(np.uint8)
+    cv2.imwrite(str(out_dir / "diff.jpeg"), diff)
+    psnr = 10 * np.log10(255**2 / max(np.mean((marked.astype(float) - frame.astype(float)) ** 2), 1e-12))
+    print(f"marked image -> {out_dir/'output.jpeg'} (PSNR {psnr:.1f} dB)")
+
+    readback = cv2.imread(str(out_dir / "output.jpeg"), cv2.IMREAD_COLOR)
+    plane = np.asarray(codec.extract_frames(jnp.asarray(readback[None])))[0]
+    if isinstance(deg, DeCorrShuffler):
+        print(f"watermark present: {deg.degenerate(plane)}")
+    elif args.wm_image:
+        deg.set_shape(payload.shape)
+        rec = deg.degenerate(plane)
+        cv2.imwrite(str(out_dir / "degenerate.jpeg"), np.asarray(rec, np.float32))
+        print(f"recovered watermark image -> {out_dir/'degenerate.jpeg'}")
+    else:
+        deg.set_shape(payload.shape)
+        rec = deg.degenerate(plane.flatten())
+        print(f"recovered payload: {''.join(map(str, rec))} "
+              f"(expected {''.join(map(str, payload))})")
 
 
 def cmd_hls_mark(args):
@@ -71,6 +171,7 @@ def cmd_hls_mark(args):
     marked, payloads, copies = mark_segments(
         segments, base / "marked_segments", copies=args.copies, key=args.key,
         batch_size=args.batch_size, quality=args.quality,
+        resume=getattr(args, "resume", False),
     )
     failed = []
     for m in marked:
@@ -161,9 +262,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="vfp_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    codecs = ["dwtDctSvd", "dct", "dtcwtKey", "dtcwtImg"]
+
     m = sub.add_parser("mark", help="embed a payload into every frame")
     m.add_argument("input"), m.add_argument("output")
+    m.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     m.add_argument("--payload", default="01100101")
+    m.add_argument("--wm-image", default=None, help="grayscale watermark image (dtcwtImg)")
     m.add_argument("--key", type=int, default=0)
     m.add_argument("--batch-size", type=int, default=16)
     m.add_argument("--quality", type=int, default=95)
@@ -171,17 +276,30 @@ def main(argv=None):
 
     d = sub.add_parser("detect", help="extract per-frame payloads")
     d.add_argument("input")
+    d.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     d.add_argument("--payload-len", type=int, default=8)
     d.add_argument("--key", type=int, default=0)
     d.add_argument("--threshold", choices=["midpoint", "fixed"], default="fixed")
     d.add_argument("--batch-size", type=int, default=16)
     d.set_defaults(fn=cmd_detect)
 
+    tf = sub.add_parser("test-frame", help="single-image embed/extract roundtrip")
+    tf.add_argument("image")
+    tf.add_argument("out_dir")
+    tf.add_argument("--codec", choices=codecs, default="dwtDctSvd")
+    tf.add_argument("--payload", default="01100101")
+    tf.add_argument("--wm-image", default=None)
+    tf.add_argument("--key", type=int, default=0)
+    tf.add_argument("--quality", type=int, default=95, help="output JPEG quality")
+    tf.set_defaults(fn=cmd_test_frame)
+
     h = sub.add_parser("hls-mark", help="segment, mark N variants, build HLS")
     h.add_argument("input"), h.add_argument("output_dir")
     h.add_argument("--copies", type=int, default=1)
     h.add_argument("--segment-duration", type=float, default=2.0)
     h.add_argument("--clean", action="store_true")
+    h.add_argument("--resume", action="store_true",
+                   help="skip segment variants whose marked files already exist")
     h.add_argument("--key", type=int, default=0)
     h.add_argument("--batch-size", type=int, default=16)
     h.add_argument("--quality", type=int, default=95)

@@ -60,6 +60,7 @@ def mark_segments(
     batch_size: int = 16,
     quality: int = 95,
     out_ext: str | None = None,
+    resume: bool = False,
 ):
     """Mark every segment in ``copies`` variants.
 
@@ -81,18 +82,24 @@ def mark_segments(
     generator = Shuffler(key=key)
 
     for seg_idx, seg_file in enumerate(segments):
-        frames, fps = _read_all(seg_file)  # decoded ONCE for all copies
-        h, w = frames.shape[1:3]
-        capacity = codec.wm_capacity((h, w, 3))
+        todo = [
+            c for c in range(copies)
+            if not (resume and (marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}").exists())
+        ]
+        frames = fps = None
+        if todo:  # segment-level resume: decode only when some copy is missing
+            frames, fps = _read_all(seg_file)  # decoded ONCE for all copies
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
-            wm = generator.generate_wm(payload, capacity)
-            fm = FrameMarker(codec, wm, batch_size=batch_size)
             out_file = marked_dir / f"marked_seg{seg_idx}_copy{copy_index}{out_ext}"
-            with open_writer(out_file, w, h, fps, quality) as writer:
-                for start in range(0, len(frames), batch_size):
-                    writer.write_batch(fm.mark(frames[start : start + batch_size]))
+            if copy_index in todo:
+                h, w = frames.shape[1:3]
+                wm = generator.generate_wm(payload, codec.wm_capacity((h, w, 3)))
+                fm = FrameMarker(codec, wm, batch_size=batch_size)
+                with open_writer(out_file, w, h, fps, quality) as writer:
+                    for start in range(0, len(frames), batch_size):
+                        writer.write_batch(fm.mark(frames[start : start + batch_size]))
             info = MarkedSegment(
                 file=str(out_file),
                 segment_number=seg_idx,
