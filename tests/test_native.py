@@ -1,0 +1,83 @@
+"""Native C++ I/O engine tests (built on the fly with g++)."""
+
+import numpy as np
+import pytest
+
+from vfp_tpu.native.build import have_native
+
+pytestmark = pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
+
+
+class TestNativeRawVideo:
+    def test_roundtrip_exact(self, tmp_path, rng):
+        from vfp_tpu.native import NativeRawVideoReader, NativeRawVideoWriter
+
+        frames = rng.randint(0, 256, (37, 24, 32, 3)).astype(np.uint8)
+        p = tmp_path / "v.rawv"
+        with NativeRawVideoWriter(p, 32, 24, fps=25) as w:
+            w.write_batch(frames[:20])
+            w.write_batch(frames[20:])
+        with NativeRawVideoReader(p) as r:
+            assert (r.width, r.height, r.fps) == (32, 24, 25.0)
+            got = []
+            while True:
+                b = r.read_batch(7)
+                if b is None:
+                    break
+                got.append(b)
+        np.testing.assert_array_equal(np.concatenate(got), frames)
+
+    def test_interop_with_python_impl(self, tmp_path, rng):
+        """Native writer <-> Python reader and vice versa."""
+        from vfp_tpu.io.readers import RawVideoReader
+        from vfp_tpu.io.writers import RawVideoWriter
+        from vfp_tpu.native import NativeRawVideoReader, NativeRawVideoWriter
+
+        frames = rng.randint(0, 256, (5, 16, 16, 3)).astype(np.uint8)
+        p1 = tmp_path / "a.rawv"
+        with NativeRawVideoWriter(p1, 16, 16) as w:
+            w.write_batch(frames)
+        with RawVideoReader(p1) as r:
+            np.testing.assert_array_equal(r.read_batch(10), frames)
+        p2 = tmp_path / "b.rawv"
+        with RawVideoWriter(p2, 16, 16) as w:
+            w.write_batch(frames)
+        with NativeRawVideoReader(p2) as r:
+            np.testing.assert_array_equal(r.read_batch(10), frames)
+
+    def test_pipe_reader(self, tmp_path, rng):
+        """Command-pipe reader: stream raw frames through `cat`."""
+        from vfp_tpu.native import NativePipeReader
+
+        frames = rng.randint(0, 256, (9, 8, 8, 3)).astype(np.uint8)
+        raw = tmp_path / "frames.bin"
+        raw.write_bytes(frames.tobytes())
+        r = NativePipeReader(f"cat {raw}", 8, 8)
+        got = r.read_batch(100)
+        r.close()
+        np.testing.assert_array_equal(got, frames)
+
+    def test_pipe_writer(self, tmp_path, rng):
+        from vfp_tpu.native import NativePipeWriter
+
+        frames = rng.randint(0, 256, (4, 8, 8, 3)).astype(np.uint8)
+        out = tmp_path / "sink.bin"
+        w = NativePipeWriter(f"cat > {out}", 8, 8)
+        w.write_batch(frames)
+        w.close()
+        np.testing.assert_array_equal(
+            np.frombuffer(out.read_bytes(), np.uint8).reshape(frames.shape), frames
+        )
+
+    def test_open_reader_prefers_native(self, tmp_path, rng):
+        from vfp_tpu.io import open_reader, open_writer
+        from vfp_tpu.native import NativeRawVideoReader
+
+        frames = rng.randint(0, 256, (3, 16, 16, 3)).astype(np.uint8)
+        p = tmp_path / "v.rawv"
+        with open_writer(p, 16, 16) as w:
+            w.write_batch(frames)
+        r = open_reader(p)
+        assert isinstance(r, NativeRawVideoReader)
+        np.testing.assert_array_equal(r.read_batch(5), frames)
+        r.close()

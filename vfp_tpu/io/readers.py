@@ -125,7 +125,12 @@ def open_reader(file) -> FrameReader:
     (or an ffmpeg pipe when the binary is available)."""
     p = Path(file)
     if p.suffix == ".rawv":
-        return RawVideoReader(file)
+        try:
+            from ..native import NativeRawVideoReader
+
+            return NativeRawVideoReader(file)
+        except Exception:
+            return RawVideoReader(file)
     from .ffmpeg import have_ffmpeg, FFmpegPipeReader
 
     if have_ffmpeg():

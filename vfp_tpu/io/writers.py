@@ -174,7 +174,12 @@ def open_writer(file, width: int, height: int, fps: float = 30.0, quality: int =
     available, else cv2 mp4v."""
     p = Path(file)
     if p.suffix == ".rawv":
-        return RawVideoWriter(file, width, height, fps)
+        try:
+            from ..native import NativeRawVideoWriter
+
+            return NativeRawVideoWriter(file, width, height, fps)
+        except Exception:
+            return RawVideoWriter(file, width, height, fps)
     if p.suffix == ".avi":
         return MjpegAviWriter(file, width, height, fps, quality)
     from .ffmpeg import have_ffmpeg, FFmpegPipeWriter

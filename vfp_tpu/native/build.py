@@ -1,0 +1,53 @@
+"""Compile + load the vfpio shared library (ctypes)."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import shutil
+import subprocess
+from functools import lru_cache
+from pathlib import Path
+
+logger = logging.getLogger(__name__)
+
+_SRC = Path(__file__).parent / "vfpio.cpp"
+_BUILD = Path(__file__).parent / "build"
+
+
+def have_native() -> bool:
+    return shutil.which("g++") is not None or (_BUILD / "libvfpio.so").exists()
+
+
+@lru_cache(maxsize=1)
+def load_vfpio():
+    """Build (if needed) and load libvfpio; returns configured ctypes CDLL.
+
+    Raises RuntimeError when no compiler and no prebuilt library exist.
+    """
+    so = _BUILD / "libvfpio.so"
+    if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
+        if shutil.which("g++") is None:
+            raise RuntimeError("no g++ and no prebuilt libvfpio.so")
+        _BUILD.mkdir(exist_ok=True)
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+               str(_SRC), "-o", str(so)]
+        logger.info("building vfpio: %s", " ".join(cmd))
+        subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(str(so))
+    lib.vfpio_reader_open_file.restype = ctypes.c_void_p
+    lib.vfpio_reader_open_file.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int, ctypes.c_long]
+    lib.vfpio_reader_open_cmd.restype = ctypes.c_void_p
+    lib.vfpio_reader_open_cmd.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
+    lib.vfpio_read_batch.restype = ctypes.c_long
+    lib.vfpio_read_batch.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.vfpio_reader_close.argtypes = [ctypes.c_void_p]
+    lib.vfpio_writer_open_file.restype = ctypes.c_void_p
+    lib.vfpio_writer_open_file.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
+    lib.vfpio_writer_open_cmd.restype = ctypes.c_void_p
+    lib.vfpio_writer_open_cmd.argtypes = [ctypes.c_char_p, ctypes.c_long, ctypes.c_int]
+    lib.vfpio_write_batch.restype = ctypes.c_long
+    lib.vfpio_write_batch.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+    lib.vfpio_writer_close.restype = ctypes.c_int
+    lib.vfpio_writer_close.argtypes = [ctypes.c_void_p]
+    return lib
