@@ -32,6 +32,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.color import bgr_to_yuv, yuv_to_bgr
@@ -141,6 +142,46 @@ class DwtDctSvd:
         pad = capacity - nbh * nbw
         return jnp.pad(bits, ((0, 0), (0, pad)))
 
+    # -- minimal-traffic helpers ----------------------------------------------
+    def _ll_from_frames(self, frames_f32: jnp.ndarray, chan: int) -> jnp.ndarray:
+        """LL band of one YUV channel straight from uint8 frames in one fused
+        pass: channel value from the 3x3 color row, Haar LL = 2x2 sum / 2.
+
+        Avoids materializing the full YUV tensor and the detail bands — only
+        the LL band (H*W/4 floats) ever reaches HBM.
+        """
+        from ..ops.color import M_FWD, OFF_FWD
+
+        b, h, w, _ = frames_f32.shape
+        h4, w4 = h // 4 * 4, w // 4 * 4
+        x = jnp.moveaxis(frames_f32[:, :h4, :w4, :], -1, 1)  # planar [B, 3, h4, w4]
+        c = (M_FWD[chan, 0] * x[:, 0] + M_FWD[chan, 1] * x[:, 1]
+             + M_FWD[chan, 2] * x[:, 2] + OFF_FWD[chan])
+        return (
+            c[:, 0::2, 0::2] + c[:, 0::2, 1::2] + c[:, 1::2, 0::2] + c[:, 1::2, 1::2]
+        ) * 0.5
+
+    def _ll_delta(self, ll: jnp.ndarray, wm_bits: jnp.ndarray, scale: float) -> jnp.ndarray:
+        """Marked-LL minus LL over the block-aligned region, zero elsewhere."""
+        b, hc, wc = ll.shape
+        nbh, nbw = hc // self.blk, wc // self.blk
+        region = ll[:, : nbh * self.blk, : nbw * self.blk]
+        m = image_to_soa(region, self.blk)
+        bits = wm_bits[: nbh * nbw].astype(jnp.float32)
+        if self._use_pallas():
+            from ..kernels import qim_embed_soa
+
+            m2 = qim_embed_soa(m, bits, scale)
+        else:
+            d = dct_soa(m)
+            s0, u, v = top_triplet_soa(d)
+            s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
+            m2 = idct_soa(rank1_update_soa(d, s_new - s0, u, v))
+        delta = soa_to_image(m2 - m, nbh * self.blk, nbw * self.blk, self.blk)
+        if (nbh * self.blk, nbw * self.blk) == (hc, wc):
+            return delta
+        return jnp.zeros_like(ll).at[:, : nbh * self.blk, : nbw * self.blk].set(delta)
+
     # -- uint8 frame-level API (the jittable hot path) -----------------------
     def mark_frames(self, frames: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] uint8 (reference channel convention) -> marked uint8.
@@ -149,26 +190,71 @@ class DwtDctSvd:
         YUV2BGR -> clip(0,255) -> round-half-even -> uint8 (reference:
         video/embedder.py:33-39).
 
-        Fast path for the default U-only embedding: since YUV2BGR is affine,
-        updating one channel never needs the modified [B,H,W,3] tensor —
-        BGR' = YUV2BGR(yuv) + (u' - u) * M_BWD[:, chan], a rank-1 channel
-        correction fused into the elementwise epilogue (bit-identical math:
-        f32 add of the same delta).
+        Fast path for the default single-channel embedding, exploiting two
+        linearities (same math, fewer HBM passes):
+        * only the LL band changes, and idwt(LL', details) = U +
+          upsample2x2(LL' - LL) / 2 — the detail bands and the inverse DWT
+          never need to exist;
+        * YUV2BGR is affine, so the output is the color roundtrip of the
+          original frame plus (delta U) * M_BWD[:, chan].
         """
-        from ..ops.color import M_BWD
+        from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
 
         active = [c for c, s in enumerate(self.scales) if s > 0]
-        yuv = bgr_to_yuv(frames.astype(jnp.float32))
-        if len(active) == 1:
-            c = active[0]
-            chan = yuv[..., c]
-            chan_new = self._embed_channel(chan, wm.reshape(-1), float(self.scales[c]))
-            base = yuv_to_bgr(yuv)
-            marked = base + (chan_new - chan)[..., None] * jnp.asarray(M_BWD[:, c])
-        else:
-            marked = yuv_to_bgr(self.encode_yuv(yuv, wm))
+        if len(active) != 1:
+            marked = yuv_to_bgr(self.encode_yuv(bgr_to_yuv(frames.astype(jnp.float32)), wm))
+            return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
+
+        c = active[0]
+        b, h, w, _ = frames.shape
+        h4, w4 = h // 4 * 4, w // 4 * 4
+        # Planar layout: channels on a leading axis so W rides the vector
+        # lanes (the interleaved [..., 3] layout wastes 125/128 lanes).
+        planes = jnp.moveaxis(frames, -1, 1).astype(jnp.float32)  # [B, 3, H, W]
+        bp, gp, rp = planes[:, 0], planes[:, 1], planes[:, 2]
+
+        # channel plane + Haar LL in one fused pass
+        cp = (M_FWD[c, 0] * bp[:, :h4, :w4] + M_FWD[c, 1] * gp[:, :h4, :w4]
+              + M_FWD[c, 2] * rp[:, :h4, :w4] + OFF_FWD[c])
+        ll = (cp[:, 0::2, 0::2] + cp[:, 0::2, 1::2] + cp[:, 1::2, 0::2] + cp[:, 1::2, 1::2]) * 0.5
+        dll = self._ll_delta(ll, wm.reshape(-1), float(self.scales[c]))
+        # upsample 2x2 (each LL delta spreads as delta/2 over its quad)
+        du = jnp.repeat(jnp.repeat(dll, 2, axis=1), 2, axis=2) * 0.5
+        if (h4, w4) != (h, w):
+            du = jnp.zeros((b, h, w), jnp.float32).at[:, :h4, :w4].set(du)
+
+        # color roundtrip (parity with the reference's double cvtColor) plus
+        # the rank-1 delta, all as planar lincombs
+        yuv = [
+            M_FWD[k, 0] * bp + M_FWD[k, 1] * gp + M_FWD[k, 2] * rp + OFF_FWD[k]
+            for k in range(3)
+        ]
+        yuv[c] = yuv[c] + du
+        out = [
+            M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
+            + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
+            + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
+            for k in range(3)
+        ]
+        marked = jnp.stack(out, axis=-1)  # [B, H, W, 3]
         return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
 
     def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
-        """[B, H, W, 3] uint8 -> [B, capacity] decoded watermark plane."""
-        return self.decode_yuv(bgr_to_yuv(frames.astype(jnp.float32)))
+        """[B, H, W, 3] uint8 -> [B, capacity] decoded watermark plane.
+
+        Fused fast path: LL of the U channel straight from the uint8 frames
+        (color row + Haar 2x2 sum in one pass), then the block decode.
+        """
+        b, h, w, _ = frames.shape
+        (nbh, nbw), capacity = block_grid((h, w), self.blk)
+        ll = self._ll_from_frames(frames.astype(jnp.float32), 1)
+        m = image_to_soa(ll[:, : nbh * self.blk, : nbw * self.blk], self.blk)
+        scale = float(self.scales[1])
+        if self._use_pallas():
+            from ..kernels import qim_decode_soa
+
+            bits = qim_decode_soa(m, scale)
+        else:
+            s0, _, _ = top_triplet_soa(dct_soa(m))
+            bits = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
+        return jnp.pad(bits, ((0, 0), (0, capacity - nbh * nbw)))
