@@ -158,3 +158,31 @@ class TestEndToEnd:
             leaked, base / "detection3", payload_file=base / "segment_payloads.json"
         )
         assert result.fingerprint == info["pattern_string"]
+
+
+class TestCustomHls:
+    def test_leak_create_hls_bundle(self, tmp_path, rng):
+        from vfp_tpu.fingerprint import create_custom_hls
+        from vfp_tpu.io import RawVideoWriter
+        from vfp_tpu.fingerprint import mark_segments, write_hls_playlists
+        from vfp_tpu.fingerprint.marker import write_manifests
+
+        src = tmp_path / "s.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=12, h=64, w=96))
+        segs = segment_video(src, tmp_path / "segments", 1.0)
+        marked, payloads, copies = mark_segments(segs, tmp_path / "marked_segments", copies=2, batch_size=8)
+        write_manifests(tmp_path, payloads, copies)
+        write_hls_playlists(marked, tmp_path / "hls", copies=2, segment_duration=1.0)
+
+        leaked, info = generate_leak(
+            tmp_path / "segment_copies.json", pattern="10", create_hls=True,
+            segment_duration=1.0,
+        )
+        assert info["custom_hls_playlist"] == "custom_playlist_10.m3u8"
+        hls = tmp_path / "hls"
+        text = (hls / "custom_playlist_10.m3u8").read_text()
+        assert "seg000_copy1" in text and "seg001_copy0" in text
+        assert (hls / "cors_server.py").exists()
+        assert (hls / "index.html").exists()
+        assert "playback_instructions" in info

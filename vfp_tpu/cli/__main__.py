@@ -205,10 +205,13 @@ def cmd_leak(args):
     from ..fingerprint import generate_leak
 
     leaked, info = generate_leak(
-        args.copies_file, args.output_file, args.pattern, args.random_seed
+        args.copies_file, args.output_file, args.pattern, args.random_seed,
+        create_hls=args.create_hls, segment_duration=args.segment_duration,
     )
     print(f"leaked video: {leaked}")
     print(f"pattern: {info['pattern_string']}")
+    if "custom_hls_playlist" in info:
+        print(f"custom HLS playlist: {info['custom_hls_playlist']}")
     if args.detect:
         base = Path(args.copies_file).parent
         ns = argparse.Namespace(
@@ -311,6 +314,8 @@ def main(argv=None):
     l.add_argument("--pattern", default=None)
     l.add_argument("--random-seed", type=int, default=None)
     l.add_argument("--segment-duration", type=float, default=2.0)
+    l.add_argument("--create-hls", action="store_true",
+                   help="emit a per-pattern HLS playlist + CORS server + player page")
     l.add_argument("--detect", action="store_true")
     l.set_defaults(fn=cmd_leak)
 

@@ -59,12 +59,68 @@ def concatenate_segments(segment_files, output_file):
     return output_file
 
 
+def create_custom_hls(base_dir, pattern: list, hls_dir=None, segment_duration: float = 2.0):
+    """Per-pattern HLS playback bundle over the existing variant media: a
+    pattern-specific media playlist + master + a CORS http server script + an
+    hls.js player page (reference: tests/generate_leak.py:195-424).
+
+    Returns the custom playlist path.  Zero re-encoding — playlist assembly
+    only, like the serving path.
+    """
+    base_dir = Path(base_dir)
+    hls_dir = Path(hls_dir) if hls_dir else base_dir / "hls"
+    if not hls_dir.exists():
+        raise FileNotFoundError(f"HLS directory not found at {hls_dir}")
+    names = sorted(f.name for f in hls_dir.iterdir() if "copy" in f.name)
+    by_seg: dict = {}
+    for n in names:
+        import re
+
+        m = re.search(r"seg(\d+)_copy(\d+)", n)
+        if m:
+            by_seg.setdefault(int(m.group(1)), {})[int(m.group(2))] = n
+    pattern_str = "".join(map(str, pattern))
+    entries = [by_seg[s][c] for s, c in zip(sorted(by_seg), pattern)]
+    from .hls import _media_playlist
+
+    playlist = hls_dir / f"custom_playlist_{pattern_str}.m3u8"
+    playlist.write_text(_media_playlist(entries, segment_duration))
+    master = hls_dir / f"custom_master_{pattern_str}.m3u8"
+    master.write_text(
+        "#EXTM3U\n#EXT-X-VERSION:7\n#EXT-X-STREAM-INF:BANDWIDTH=2000000\n"
+        f"{playlist.name}\n"
+    )
+    (hls_dir / "cors_server.py").write_text(
+        '"""CORS-enabled static server for local HLS playback."""\n'
+        "from functools import partial\n"
+        "from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer\n\n\n"
+        "class Handler(SimpleHTTPRequestHandler):\n"
+        "    def end_headers(self):\n"
+        "        self.send_header('Access-Control-Allow-Origin', '*')\n"
+        "        self.send_header('Cache-Control', 'no-cache')\n"
+        "        super().end_headers()\n\n\n"
+        "if __name__ == '__main__':\n"
+        "    ThreadingHTTPServer(('0.0.0.0', 8000), Handler).serve_forever()\n"
+    )
+    (hls_dir / "index.html").write_text(
+        "<!doctype html><html><body><h1>Leaked pattern "
+        f"{pattern_str}</h1><video id=v controls width=640></video>\n"
+        '<script src="https://cdn.jsdelivr.net/npm/hls.js@latest"></script>\n'
+        "<script>const h=new Hls();"
+        f"h.loadSource('{playlist.name}');h.attachMedia(document.getElementById('v'));"
+        "</script></body></html>\n"
+    )
+    return playlist
+
+
 def generate_leak(
     copies_file,
     output_file=None,
     pattern: str | None = None,
     random_seed=None,
     marked_dir=None,
+    create_hls: bool = False,
+    segment_duration: float = 2.0,
 ):
     """End-to-end leak generation; writes leak_info.json next to the output
     (reference: tests/generate_leak.py:426-461). Returns (output_file, info)."""
@@ -82,5 +138,18 @@ def generate_leak(
         "pattern_string": "".join(map(str, copy_pattern)),
         "selected_segments": [Path(f).name for f in files],
     }
+    if create_hls:
+        try:
+            playlist = create_custom_hls(base, copy_pattern, segment_duration=segment_duration)
+            leak_info["custom_hls_playlist"] = playlist.name
+            leak_info["playback_instructions"] = {
+                "step1": "Start the CORS-enabled HTTP server",
+                "command": f"cd {playlist.parent} && python cors_server.py",
+                "step2": "Open the following URL in your browser",
+                "url": "http://localhost:8000/index.html",
+                "step3": "The video will play with your specific watermark pattern",
+            }
+        except FileNotFoundError:
+            pass
     (Path(output_file).parent / "leak_info.json").write_text(json.dumps(leak_info, indent=2))
     return Path(output_file), leak_info
