@@ -50,3 +50,61 @@ class TestQimKernels:
             assert out.shape == (1, 16, n)
             bits = np.asarray(qim_decode_soa(out, SCALE, interpret=True))
             assert (bits == np.asarray(wm)).all(), n
+
+
+class TestFusedMegaKernels:
+    """Single-launch fused embed/extract (interpreter mode; compiled on TPU)."""
+
+    def _setup(self, rng, h=72, w=128):
+        from vfp_tpu.wm.dwt_dct_svd import DwtDctSvd, block_grid
+        from vfp_tpu.wm import Shuffler
+        from vfp_tpu.fingerprint import payload_for_segment
+
+        frames = rng.randint(0, 256, (2, h, w, 3)).astype(np.uint8)
+        codec = DwtDctSvd(backend="xla")
+        (nbh, nbw), cap = block_grid((h, w), 4)
+        payload = payload_for_segment(1, 2)
+        wm = np.asarray(
+            Shuffler(key=0).generate_wm(payload, codec.wm_capacity((h, w, 3)))
+        ).reshape(-1)
+        return frames, codec, (nbh, nbw), cap, payload, wm
+
+    def test_mark_matches_xla_and_roundtrips(self, rng):
+        from vfp_tpu.kernels.fused_embed import fused_mark_planar
+        from vfp_tpu.wm import DeShuffler
+
+        frames, codec, (nbh, nbw), cap, payload, wm = self._setup(rng)
+        planes = jnp.asarray(frames.transpose(0, 3, 1, 2))
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        got = np.asarray(fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True))
+        got = got.transpose(0, 2, 3, 1)
+        want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # borderline s0 may land in a different (parity-equivalent) QIM bin
+        assert (diff == 0).mean() > 0.98
+        bits = codec.extract_frames(jnp.asarray(got))
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        rec = np.asarray(deg.degenerate_batch(bits))
+        for p in rec:
+            np.testing.assert_array_equal(p, payload)
+
+    def test_extract_matches_xla(self, rng):
+        from vfp_tpu.kernels.fused_embed import fused_extract_planar, fused_mark_planar
+
+        frames, codec, (nbh, nbw), cap, payload, wm = self._setup(rng)
+        planes = jnp.asarray(frames.transpose(0, 3, 1, 2))
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        marked = fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True)
+        bits = np.asarray(fused_extract_planar(marked, 15.0, 1, interpret=True))
+        assert bits.shape == (2, nbh, nbw)
+        want = np.asarray(
+            codec.extract_frames(jnp.asarray(np.asarray(marked).transpose(0, 2, 3, 1)))
+        )[:, : nbh * nbw].reshape(2, nbh, nbw)
+        assert (bits == want).mean() > 0.98
+
+    def test_pick_chunk(self):
+        from vfp_tpu.kernels.fused_embed import pick_chunk
+
+        assert pick_chunk(1920) == 960
+        assert pick_chunk(128) == 128
+        assert 1920 % pick_chunk(1920) == 0

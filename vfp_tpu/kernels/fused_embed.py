@@ -1,0 +1,251 @@
+"""Single-launch fused embed kernel: u8 planes in -> marked u8 planes out.
+
+On the axon-relayed chip every kernel launch costs ~2.7 ms regardless of
+size, so the multi-op embed pipeline (color, Haar, layout, QIM, inverse,
+epilogue = 7+ launches) is launch-bound.  This kernel does the ENTIRE
+flagship embed per (batch, 32-row strip) grid cell in one launch:
+
+  u8 -> f32 -> channel lincomb -> Haar LL -> 4x4-block SoA -> DCT ->
+  dominant triplet -> QIM -> rank-1 -> IDCT -> LL delta -> spatial delta ->
+  color roundtrip epilogue -> u8
+
+Mosaic has no strided lane slicing (it lowers as an unsupported gather), so
+the Haar lane-pair sum and the stride-4 block-column selection are folded
+into four small selection matmuls with two-hot columns:
+S_c[j, n] = 1 iff j in {8n+2c, 8n+2c+1}.  The pattern is 8-periodic, so one
+[CHUNK, CHUNK/8] matrix serves every static lane chunk of the strip; the
+transposes scatter the LL delta back onto the 2x2 quads.  Row-side pairing
+is the [16, 32] analogue R1.  Everything else is elementwise on lane vectors
+or 16x16 MXU matmuls (the Kronecker DCT).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
+from ..ops.soa import dct_kron
+from .qim import _triplet_rows
+
+STRIP = 32  # rows per grid cell (u8 sublane tile)
+MAX_CHUNK = 1024  # lane-chunk cap for the selection matrices
+
+
+def pick_chunk(w4: int) -> int | None:
+    """Largest lane chunk <= MAX_CHUNK with chunk % 8 == 0, w4 % chunk == 0."""
+    nbw = w4 // 8
+    for g in range(1, nbw + 1):
+        if nbw % g == 0 and (w4 // g) <= MAX_CHUNK:
+            return w4 // g
+    return None
+
+
+@lru_cache(maxsize=None)
+def _consts(chunk: int):
+    nb = chunk // 8
+    s = np.zeros((4, chunk, nb), np.float32)
+    for c in range(4):
+        for n in range(nb):
+            s[c, 8 * n + 2 * c, n] = 1.0
+            s[c, 8 * n + 2 * c + 1, n] = 1.0
+    st = np.ascontiguousarray(s.transpose(0, 2, 1))
+    r1 = np.zeros((16, STRIP), np.float32)
+    for i in range(16):
+        r1[i, 2 * i] = 1.0
+        r1[i, 2 * i + 1] = 1.0
+    k = dct_kron(4)
+    return s, st, r1, np.ascontiguousarray(r1.T), k, np.ascontiguousarray(k.T)
+
+
+def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref, o_ref):
+    chan, scale, h4, chunk = static
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
+    w = x.shape[-1]
+    n_chunks = w // chunk
+    nb = chunk // 8
+    nbw = w // 8
+
+    cp = (M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1]
+          + M_FWD[chan, 2] * x[2] + OFF_FWD[chan])
+    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # [16, W]
+
+    # lane compaction: for each c, Mc[16, nbw] (pair-sum + stride-4 select)
+    mc = []
+    for c in range(4):
+        segs = [
+            jnp.dot(llr[:, l * chunk : (l + 1) * chunk], s_ref[c],
+                    preferred_element_type=jnp.float32)
+            for l in range(n_chunks)
+        ]
+        mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
+
+    # per block-row (4 LL rows each): all concatenations stay on the sublane
+    # axis — lane concats of non-128-aligned widths hit Mosaic relayout bugs
+    wm = wm_ref[0]  # [4, nbw]
+    parts = []
+    for br in range(4):
+        m_br = jnp.concatenate(
+            [mc[c][4 * br + r : 4 * br + r + 1, :] for r in range(4) for c in range(4)],
+            axis=0,
+        )  # [16, nbw]
+        d = jnp.dot(k_ref[:], m_br, preferred_element_type=jnp.float32)  # DCT
+        s0, u, v, rows = _triplet_rows(d)
+        s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm[br : br + 1, :]) * scale
+        ds = s_new - s0
+        ddct = jnp.concatenate(
+            [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0
+        )
+        dm = jnp.dot(kt_ref[:], ddct, preferred_element_type=jnp.float32)  # [16, nbw]
+        rows16 = []
+        for r in range(4):
+            acc = None
+            for c in range(4):
+                seg = dm[(r * 4 + c) : (r * 4 + c) + 1, :]
+                outs = [
+                    jnp.dot(seg[:, l * nb : (l + 1) * nb], st_ref[c],
+                            preferred_element_type=jnp.float32)
+                    for l in range(n_chunks)
+                ]
+                contrib = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
+                acc = contrib if acc is None else acc + contrib
+            rows16.append(acc)
+        parts.append(jnp.concatenate(rows16, axis=0))  # [4, W]
+    dllrows = jnp.concatenate(parts, axis=0)  # [16, W]
+    du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
+
+    # no delta beyond the 4-aligned crop (those rows still get the roundtrip)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, w), 0) + j * STRIP
+    du = jnp.where(row_ids < h4, du, 0.0)
+
+    yuv = [
+        M_FWD[k, 0] * x[0] + M_FWD[k, 1] * x[1] + M_FWD[k, 2] * x[2] + OFF_FWD[k]
+        for k in range(3)
+    ]
+    yuv[chan] = yuv[chan] + du
+    out = [
+        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
+        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
+        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
+        for k in range(3)
+    ]
+    o_ref[0] = (
+        jnp.round(jnp.clip(jnp.stack(out), 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+@partial(jax.jit, static_argnames=("chan", "scale", "interpret"))
+def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.0,
+                      chan: int = 1, interpret: bool = False):
+    """u8 planes [B, 3, H, W] + watermark grid [nbh, nbw] -> marked planes.
+
+    wm2d is the first nbh*nbw entries of the flat watermark plane reshaped
+    row-major (block scan order parity).  Requires W % 4 == 0 and a valid
+    lane chunk (standard resolutions qualify); callers fall back to the
+    multi-op path otherwise.  Note: embeds may pick a different (parity-
+    equivalent) QIM bin than the multi-op path on borderline s0 — decoded
+    bits are identical.
+    """
+    b, _, h, w = planes.shape
+    h4, w4 = h // 4 * 4, w // 4 * 4
+    if w4 != w:
+        raise ValueError("fused_mark_planar requires W % 4 == 0")
+    chunk = pick_chunk(w4)
+    if chunk is None:
+        raise ValueError(f"no valid lane chunk for W={w}")
+    nbh, nbw = (h4 // 2) // 4, w4 // 8
+    strips = pl.cdiv(h, STRIP)
+    wm3d = jnp.pad(wm2d.astype(jnp.float32), ((0, strips * 4 - nbh), (0, 0)))
+    wm3d = wm3d.reshape(strips, 4, nbw)
+    s, st, r1, r1t, k, kt = _consts(chunk)
+    grid = (b, strips)
+    return pl.pallas_call(
+        partial(_kernel, (chan, float(scale), h4, chunk)),
+        out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, chunk // 8, chunk), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, wm3d, jnp.asarray(s), jnp.asarray(st), jnp.asarray(r1),
+      jnp.asarray(r1t), jnp.asarray(k), jnp.asarray(kt))
+
+
+def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
+    chan, scale, chunk = static
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
+    w = x.shape[-1]
+    n_chunks = w // chunk
+
+    cp = (M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1]
+          + M_FWD[chan, 2] * x[2] + OFF_FWD[chan])
+    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)
+    mc = []
+    for c in range(4):
+        segs = [
+            jnp.dot(llr[:, l * chunk : (l + 1) * chunk], s_ref[c],
+                    preferred_element_type=jnp.float32)
+            for l in range(n_chunks)
+        ]
+        mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
+    bits = []
+    for br in range(4):
+        m_br = jnp.concatenate(
+            [mc[c][4 * br + r : 4 * br + r + 1, :] for r in range(4) for c in range(4)],
+            axis=0,
+        )
+        d = jnp.dot(k_ref[:], m_br, preferred_element_type=jnp.float32)
+        s0, u, v, rows = _triplet_rows(d)
+        bits.append((jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32))
+    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [4, nbw]
+
+
+@partial(jax.jit, static_argnames=("chan", "scale", "interpret"))
+def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1,
+                         interpret: bool = False):
+    """u8 planes [B, 3, H, W] -> decoded bits [B, nbh, nbw] in one launch."""
+    b, _, h, w = planes.shape
+    h4, w4 = h // 4 * 4, w // 4 * 4
+    if w4 != w:
+        raise ValueError("fused_extract_planar requires W % 4 == 0")
+    chunk = pick_chunk(w4)
+    if chunk is None:
+        raise ValueError(f"no valid lane chunk for W={w}")
+    nbh, nbw = (h4 // 2) // 4, w4 // 8
+    strips = pl.cdiv(h, STRIP)
+    s, st, r1, r1t, k, kt = _consts(chunk)
+    out = pl.pallas_call(
+        partial(_decode_kernel, (chan, float(scale), chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, strips, 4, nbw), jnp.float32),
+        grid=(b, strips),
+        in_specs=[
+            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4, nbw), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(s), jnp.asarray(r1), jnp.asarray(k))
+    return out.reshape(b, strips * 4, nbw)[:, :nbh, :]

@@ -74,6 +74,13 @@ class DwtDctSvd:
             return jax.default_backend() == "tpu"
         return self.backend == "pallas"
 
+    def _fused_ok(self, frame_shape) -> bool:
+        """Whether the single-launch mega-kernel supports this shape."""
+        from ..kernels.fused_embed import pick_chunk
+
+        h, w = frame_shape[1], frame_shape[2]
+        return self.blk == 4 and w % 4 == 0 and pick_chunk(w) is not None
+
     # -- reference-compatible capacity -------------------------------------
     def wm_capacity(self, frame_shape):
         return (1, frame_shape[0] * frame_shape[1] // 64)
@@ -206,6 +213,15 @@ class DwtDctSvd:
             return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
 
         c = active[0]
+        if self._use_pallas() and self._fused_ok(frames.shape):
+            # single-launch mega-kernel (launch latency dominates on-chip)
+            from ..kernels.fused_embed import fused_mark_planar
+
+            (nbh, nbw), _ = block_grid(frames.shape[1:3], self.blk)
+            wm2d = wm.reshape(-1)[: nbh * nbw].reshape(nbh, nbw)
+            planes = jnp.moveaxis(frames, -1, 1)
+            out = fused_mark_planar(planes, wm2d, float(self.scales[c]), c)
+            return jnp.moveaxis(out, 1, -1)
         b, h, w, _ = frames.shape
         h4, w4 = h // 4 * 4, w // 4 * 4
         # Planar layout: channels on a leading axis so W rides the vector
@@ -247,6 +263,14 @@ class DwtDctSvd:
         """
         b, h, w, _ = frames.shape
         (nbh, nbw), capacity = block_grid((h, w), self.blk)
+        if self._use_pallas() and self._fused_ok(frames.shape):
+            from ..kernels.fused_embed import fused_extract_planar
+
+            bits2d = fused_extract_planar(
+                jnp.moveaxis(frames, -1, 1), float(self.scales[1]), 1
+            )
+            bits = bits2d.reshape(b, nbh * nbw)
+            return jnp.pad(bits, ((0, 0), (0, capacity - nbh * nbw)))
         ll = self._ll_from_frames(frames.astype(jnp.float32), 1)
         m = image_to_soa(ll[:, : nbh * self.blk, : nbw * self.blk], self.blk)
         scale = float(self.scales[1])
