@@ -67,3 +67,31 @@ class TestShardedDetect:
             sharded_detect_step(mesh, codec, deg, 3)(jnp.asarray(marked), jnp.asarray(cands))
         )
         assert votes[1] == 16
+
+
+class TestSegmentFarm:
+    def test_parallel_matches_serial(self, tmp_path, rng):
+        from vfp_tpu.fingerprint import segment_video
+        from vfp_tpu.fingerprint.marker import mark_segments
+        from vfp_tpu.parallel.farm import mark_segments_parallel
+        from vfp_tpu.io import RawVideoWriter
+
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=24, h=64, w=96))
+        segs = segment_video(src, tmp_path / "segs", 1.0)
+        assert len(segs) == 4
+
+        m1, p1, c1 = mark_segments(segs, tmp_path / "serial", copies=2, batch_size=8)
+        m2, p2, c2 = mark_segments_parallel(
+            segs, tmp_path / "farm", copies=2, workers=2, batch_size=8
+        )
+        assert p1 == p2
+        assert len(m2) == len(m1) == 8
+        assert c2["total_marked_segments"] == 8
+        # identical marked bytes (same math in every worker)
+        import pathlib
+        for a, b in zip(m1, m2):
+            fa = pathlib.Path(a.file).read_bytes()
+            fb = pathlib.Path(b.file).read_bytes()
+            assert fa == fb, (a.file, b.file)

@@ -61,6 +61,7 @@ def mark_segments(
     quality: int = 95,
     out_ext: str | None = None,
     resume: bool = False,
+    first_segment_number: int = 0,
 ):
     """Mark every segment in ``copies`` variants.
 
@@ -81,7 +82,7 @@ def mark_segments(
     segment_copies: dict = {"segments": {}}
     generator = Shuffler(key=key)
 
-    for seg_idx, seg_file in enumerate(segments):
+    for seg_idx, seg_file in enumerate(segments, start=first_segment_number):
         todo = [
             c for c in range(copies)
             if not (resume and (marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}").exists())
