@@ -29,15 +29,18 @@ def _payload_bits(s: str) -> np.ndarray:
     return np.array([int(c) for c in s])
 
 
-def _make_generator(codec_name: str, key: int):
+def _make_generator(codec_name: str, key: int, generator: str = "auto"):
     """Generator/degenerator pair valid for a codec (reference pairings:
-    tests/test.py:59)."""
+    tests/test.py:59 — Shuffler/GrayScale with DwtDctSvd/Dct, CorrShuffler
+    with DtcwtKey, BlockShuffler with DtcwtImg)."""
     from ..wm import (
         BlockShuffler,
         CorrShuffler,
         DeBlockShuffler,
         DeCorrShuffler,
+        DeGrayScale,
         DeShuffler,
+        GrayScale,
         Shuffler,
     )
 
@@ -46,6 +49,8 @@ def _make_generator(codec_name: str, key: int):
         return CorrShuffler(key=key), DeCorrShuffler(key=key)
     if name in ("dtcwtimg", "dtcwt_img"):
         return BlockShuffler(key=key), DeBlockShuffler(key=key)
+    if generator == "grayscale":
+        return GrayScale(key=key), DeGrayScale(key=key)
     return Shuffler(key=key), DeShuffler(key=key, threshold="fixed")
 
 
@@ -56,7 +61,7 @@ def cmd_mark(args):
     from ..utils import VfpConfig
 
     codec = VfpConfig().make_codec(args.codec)
-    generator, _ = _make_generator(args.codec, args.key)
+    generator, _ = _make_generator(args.codec, args.key, getattr(args, "generator", "auto"))
     if args.wm_image:
         import cv2
 
@@ -117,7 +122,7 @@ def cmd_test_frame(args):
     from ..wm import DeCorrShuffler
 
     codec = VfpConfig().make_codec(args.codec)
-    generator, deg = _make_generator(args.codec, args.key)
+    generator, deg = _make_generator(args.codec, args.key, getattr(args, "generator", "auto"))
     frame = cv2.imread(args.image, cv2.IMREAD_COLOR)
     if frame is None:
         raise SystemExit(f"cannot read image: {args.image}")
@@ -271,7 +276,8 @@ def main(argv=None):
     m.add_argument("input"), m.add_argument("output")
     m.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     m.add_argument("--payload", default="01100101")
-    m.add_argument("--wm-image", default=None, help="grayscale watermark image (dtcwtImg)")
+    m.add_argument("--wm-image", default=None, help="grayscale watermark image payload")
+    m.add_argument("--generator", choices=["auto", "shuffler", "grayscale"], default="auto")
     m.add_argument("--key", type=int, default=0)
     m.add_argument("--batch-size", type=int, default=16)
     m.add_argument("--quality", type=int, default=95)
@@ -292,6 +298,7 @@ def main(argv=None):
     tf.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     tf.add_argument("--payload", default="01100101")
     tf.add_argument("--wm-image", default=None)
+    tf.add_argument("--generator", choices=["auto", "shuffler", "grayscale"], default="auto")
     tf.add_argument("--key", type=int, default=0)
     tf.add_argument("--quality", type=int, default=95, help="output JPEG quality")
     tf.set_defaults(fn=cmd_test_frame)
