@@ -46,7 +46,7 @@ def measure_cpu_baseline() -> float:
     return 1.0 / dt
 
 
-def measure_tpu(batch: int = 8, iters: int = 8) -> float:
+def measure_tpu(batch: int = 32, iters: int = 4) -> float:
     """Steady-state embed fps via an on-device loop + scalar checksum fetch.
 
     (block_until_ready is unreliable over the axon tunnel and full-frame

@@ -129,3 +129,31 @@ class TestWorkflow:
         vid = next(k for k, v in history.items() if v["username"] == "alice")
         status, data, headers = _req(base, f"/download-view/{vid}")
         assert status == 200 and len(data) > 1000
+
+
+class TestFailureFallback:
+    def test_bad_segment_falls_back_to_unmarked(self, tmp_path, rng):
+        """A segment that fails to mark is served unmarked (reference:
+        api/main.py:141-162) and recorded in failed_segments.json."""
+        import json
+        from vfp_tpu.serve.service import VfpService
+        from vfp_tpu.io import RawVideoWriter
+
+        svc = VfpService(tmp_path / "data", num_copies=2, segment_duration=1.0)
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=12, h=64, w=96))
+        segs_dir = tmp_path / "data" / "segments"
+        # process normally first to build segments, then corrupt one and redo
+        svc.process_upload(src)
+        # corrupt segment 1 and re-run the marking stage with fallback
+        segs = sorted(segs_dir.iterdir())
+        segs[1].write_bytes(b"garbage not a video")
+        marked, payloads, copies, failed = svc._mark_with_fallback(segs)
+        assert len(failed) == 1 and failed[0]["segment_number"] == 1
+        assert copies["total_marked_segments"] == 4  # 2 segs x 2 copies
+        # the fallback files exist (unmarked copies)
+        names = [m.file for m in marked if m.segment_number == 1]
+        assert len(names) == 2
+        for n in names:
+            assert (tmp_path / "data" / "marked_segments" / n.split("/")[-1]).exists()

@@ -80,10 +80,7 @@ class VfpService:
         segments = segment_video(
             video_path, self.data_dir / "segments", self.segment_duration
         )
-        marked, payloads, copies = mark_segments(
-            segments, self.data_dir / "marked_segments",
-            copies=self.num_copies, key=self.key,
-        )
+        marked, payloads, copies, failed = self._mark_with_fallback(segments)
         master, playlist, seg_map, variants = write_hls_playlists(
             marked, self.hls_dir, copies=self.num_copies,
             segment_duration=self.segment_duration,
@@ -109,12 +106,64 @@ class VfpService:
         )
         (self.data_dir / "segment_payloads.json").write_text(json.dumps(payloads, indent=2))
         (self.data_dir / "segment_copies.json").write_text(json.dumps(copies, indent=2))
+        if failed:
+            (self.data_dir / "failed_segments.json").write_text(json.dumps(failed, indent=2))
         return {
             "status": "success",
             "num_segments": len(segments),
             "num_copies": self.num_copies,
             "total_variants": len(marked),
+            "failed_segments": failed,
         }
+
+    def _mark_with_fallback(self, segments):
+        """Mark per segment, falling back to unmarked copies on embed failure
+        (reference: api/main.py:141-162 catches per-segment exceptions and
+        serves the unmarked segment so playback never breaks)."""
+        import shutil as _shutil
+
+        from ..fingerprint.marker import MarkedSegment
+        from ..fingerprint.payloads import payload_for_segment
+
+        marked, payloads = [], {}
+        copies_info = {"segments": {}}
+        failed = []
+        out_dir = self.data_dir / "marked_segments"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for i, seg in enumerate(segments):
+            try:
+                m, p, c = mark_segments(
+                    [seg], out_dir, copies=self.num_copies, key=self.key,
+                    first_segment_number=i,
+                )
+                marked.extend(m)
+                payloads.update(p)
+                copies_info["segments"].update(c["segments"])
+            except Exception as e:  # pragma: no cover - exercised via tests
+                logger.error("segment %d failed to mark (%s); using unmarked copies", i, e)
+                failed.append({"segment_number": i, "error": str(e)})
+                ext = Path(seg).suffix
+                entry = []
+                for copy_index in range(self.num_copies):
+                    out = out_dir / f"marked_seg{i}_copy{copy_index}{ext}"
+                    _shutil.copy2(seg, out)
+                    payload = payload_for_segment(i, copy_index)
+                    marked.append(
+                        MarkedSegment(str(out), i, copy_index, payload.tolist())
+                    )
+                    payloads[f"{i}_{copy_index}"] = payload.tolist()
+                    entry.append(
+                        {"file": out.name, "payload": payload.tolist(), "copy_index": copy_index}
+                    )
+                copies_info["segments"][str(i)] = entry
+        copies_info.update(
+            {
+                "total_segments": len(segments),
+                "copies_per_segment": self.num_copies,
+                "total_marked_segments": len(marked),
+            }
+        )
+        return marked, payloads, copies_info, failed
 
     # -- views ------------------------------------------------------------------
     def _num_segments(self, mapping: dict) -> int:
