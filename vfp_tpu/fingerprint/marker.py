@@ -19,7 +19,7 @@ from pathlib import Path
 import numpy as np
 
 from ..io import open_reader, open_writer
-from ..pipeline import FrameExtractor, FrameMarker
+from ..pipeline import FrameExtractor, FrameMarker, MultiMarker
 from ..wm import DeShuffler, DwtDctSvd, Shuffler
 from .payloads import payload_for_segment
 
@@ -88,19 +88,34 @@ def mark_segments(
             if not (resume and (marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}").exists())
         ]
         frames = fps = None
+        writers = {}
         if todo:  # segment-level resume: decode only when some copy is missing
             frames, fps = _read_all(seg_file)  # decoded ONCE for all copies
+            h, w = frames.shape[1:3]
+            # all missing variants marked in ONE vmapped call per batch
+            wms = [
+                generator.generate_wm(
+                    payload_for_segment(seg_idx, c), codec.wm_capacity((h, w, 3))
+                )
+                for c in todo
+            ]
+            mm = MultiMarker(codec, wms, batch_size=batch_size)
+            writers = {
+                c: open_writer(
+                    marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}", w, h, fps, quality
+                )
+                for c in todo
+            }
+            for start in range(0, len(frames), batch_size):
+                out = mm.mark_all(frames[start : start + batch_size])
+                for vi, c in enumerate(todo):
+                    writers[c].write_batch(out[vi])
+            for wtr in writers.values():
+                wtr.close()
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
             out_file = marked_dir / f"marked_seg{seg_idx}_copy{copy_index}{out_ext}"
-            if copy_index in todo:
-                h, w = frames.shape[1:3]
-                wm = generator.generate_wm(payload, codec.wm_capacity((h, w, 3)))
-                fm = FrameMarker(codec, wm, batch_size=batch_size)
-                with open_writer(out_file, w, h, fps, quality) as writer:
-                    for start in range(0, len(frames), batch_size):
-                        writer.write_batch(fm.mark(frames[start : start + batch_size]))
             info = MarkedSegment(
                 file=str(out_file),
                 segment_number=seg_idx,

@@ -45,6 +45,34 @@ class FrameMarker:
         return np.asarray(out)[:k]
 
 
+class MultiMarker:
+    """Marks every watermark variant in one vmapped call per frame batch —
+    the HLS copies axis amortizes kernel launches (and maps onto the
+    'variant' mesh axis on multi-chip, parallel/sharded.py)."""
+
+    def __init__(self, codec, wms: np.ndarray, batch_size: int = 16):
+        import jax.numpy as jnp
+
+        self.codec = codec
+        self.wms = jax.numpy.asarray(np.stack([np.asarray(w).reshape(-1) for w in wms]),
+                                     jnp.float32)
+        self.batch_size = batch_size
+        self._fn = jax.jit(jax.vmap(lambda f, w: codec.mark_frames(f, w), in_axes=(None, 0)))
+
+    @property
+    def n_variants(self) -> int:
+        return len(self.wms)
+
+    def mark_all(self, frames: np.ndarray) -> np.ndarray:
+        """[k, H, W, 3] -> [V, k, H, W, 3] uint8."""
+        k = len(frames)
+        if k < self.batch_size:
+            pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)
+            frames = np.concatenate([frames, pad])
+        out = self._fn(frames, self.wms)
+        return np.asarray(out)[:, :k]
+
+
 @dataclass
 class PipelineStats:
     frames: int = 0
