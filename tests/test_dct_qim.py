@@ -93,3 +93,42 @@ class TestCodec:
         bits = np.asarray(codec.extract_frames(jnp.asarray(marked[None])))[0]
         out = DeShuffler(key=0).set_shape(PAYLOAD.shape).degenerate(bits)
         np.testing.assert_array_equal(out, PAYLOAD)
+
+
+class TestFusedDctQim:
+    """Single-launch fused DCT-QIM kernels (interpret mode; compiled on TPU)."""
+
+    def test_mark_pixel_exact_and_extract(self, rng):
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.fused_dct_qim import (
+            fused_dct_qim_extract,
+            fused_dct_qim_mark,
+            pick_chunk8,
+        )
+
+        assert pick_chunk8(1920) == 960
+        codec = DctQim(backend="xla")
+        frames = natural_frames(rng, b=2, h=64, w=128)
+        nbh, nbw = 8, 16
+        wm = np.asarray(
+            Shuffler(key=0).generate_wm(PAYLOAD, codec.wm_capacity((64, 128, 3)))
+        ).reshape(-1)
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        got = np.asarray(
+            fused_dct_qim_mark(jnp.asarray(frames.transpose(0, 3, 1, 2)), wm2d, 20.0,
+                               interpret=True)
+        ).transpose(0, 2, 3, 1)
+        want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        np.testing.assert_array_equal(got, want)  # pixel-exact vs XLA path
+        bits = np.asarray(
+            fused_dct_qim_extract(jnp.asarray(got.transpose(0, 3, 1, 2)), 20.0,
+                                  interpret=True)
+        ).reshape(2, -1)
+        wantbits = np.asarray(codec.extract_frames(jnp.asarray(got)))[:, : nbh * nbw]
+        np.testing.assert_array_equal(bits, wantbits)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
+        cap = codec.wm_capacity((64, 128, 3))[1]
+        padded = np.pad(bits, ((0, 0), (0, cap - nbh * nbw)))
+        rec = np.asarray(deg.degenerate_batch(jnp.asarray(padded)))
+        for p in rec:
+            np.testing.assert_array_equal(p, PAYLOAD)

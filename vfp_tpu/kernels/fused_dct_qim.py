@@ -1,0 +1,295 @@
+"""Single-launch fused DCT-QIM embed/extract kernels (perceptual masks).
+
+Same launch-bound motivation and machinery as fused_embed.py, for the 8x8
+perceptually-masked codec (wm/dct_qim.py): per (batch, 32-row strip) grid
+cell —
+
+  u8 -> f32 -> Y & U lincombs -> 8x8-block SoA (selection matmuls) ->
+  64x64 Kronecker DCT of both channels -> luminance/texture masks
+  (lane-parallel where-chains) -> QIM on coefficient [2][1] ->
+  spatial delta = amplitude x fixed DCT basis pattern -> color roundtrip
+  epilogue -> u8
+
+Only DCT coefficient [2][1] changes, so the inverse DCT collapses to a
+rank-1 spatial update: dU[8br+r, 8n+c] = amp[n] * P[r, c] with
+P = idct2(e_2 e_1^T) — no inverse transform in the kernel.
+
+The luminance mask needs the global block-DC mean of the Y channel
+(reference: dct_encoder.py:52-55), which crosses strip boundaries; it is
+computed in a tiny first pass outside and passed in as a scalar.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
+from ..ops.dct import dct_matrix
+from ..ops.soa import dct_kron
+
+STRIP = 32  # rows per grid cell = 4 block-rows of 8
+MAX_CHUNK = 1024
+
+
+def pick_chunk8(w8: int) -> int | None:
+    """Largest lane chunk <= MAX_CHUNK with chunk % 8 == 0 and w8 % chunk == 0."""
+    nbw = w8 // 8
+    for g in range(1, nbw + 1):
+        if nbw % g == 0 and (w8 // g) <= MAX_CHUNK:
+            return w8 // g
+    return None
+
+
+@lru_cache(maxsize=None)
+def _consts8(chunk: int):
+    nb = chunk // 8
+    # one-hot selection: S8[c][j, n] = 1 iff j == 8n + c (in-block column c)
+    s = np.zeros((8, chunk, nb), np.float32)
+    for c in range(8):
+        for n in range(nb):
+            s[c, 8 * n + c, n] = 1.0
+    st = np.ascontiguousarray(s.transpose(0, 2, 1))
+    k = dct_kron(8)  # [64, 64], expects rows ordered r*8+c
+    # _block_dct assembles rows c-major ([c*8+r]); fold the permutation into K
+    perm = np.zeros((64, 64), np.float32)
+    for r in range(8):
+        for c in range(8):
+            perm[r * 8 + c, c * 8 + r] = 1.0
+    kp = np.ascontiguousarray((k @ perm).astype(np.float32))
+    d8 = dct_matrix(8)
+    basis = np.outer(d8[2], d8[1]).astype(np.float32)  # idct2 of e2 e1^T: [8, 8]
+    return s, st, kp, basis
+
+
+def _block_dct(chan, s_ref, k_ref, br, n_chunks, chunk):
+    """chan [STRIP, W] -> DCT coeffs [64, nbw] of block-row br.
+
+    Rows are assembled c-major ([c*8+r]) with one [8, chunk] x [chunk, nb]
+    selection matmul per (c, chunk); k_ref has the r-major permutation
+    folded in, so the output is standard [r*8+c]-ordered coefficients.
+    """
+    y8 = chan[8 * br : 8 * br + 8, :]  # [8, W]
+    rows = []
+    for c in range(8):
+        segs = [
+            jnp.dot(y8[:, l * chunk : (l + 1) * chunk], s_ref[c],
+                    preferred_element_type=jnp.float32)
+            for l in range(n_chunks)
+        ]
+        rows.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
+    m = jnp.concatenate(rows, axis=0)  # [64, nbw] c-major spatial
+    return jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32)
+
+
+def _masks_from_y(yd):
+    """Per-block luminance DC [1, nbw] and texture mask [1, nbw] from Y DCT
+    coefficients [64, nbw] (reference: dct_encoder.py:41-102)."""
+    c = jnp.abs(yd)
+
+    def at(r, col):
+        return c[r * 8 + col : r * 8 + col + 1, :]
+
+    dcl = at(0, 0) + at(0, 1) + at(0, 2) + at(1, 0) + at(1, 1) + at(2, 0)
+    eh = jnp.sum(c, axis=0, keepdims=True) - dcl
+    e = (at(3, 0) + at(4, 0) + at(5, 0) + at(6, 0)
+         + at(0, 3) + at(0, 4) + at(0, 5) + at(0, 6)
+         + at(2, 1) + at(1, 2) + at(2, 2) + at(3, 3))
+    h = eh - e
+    l = dcl - at(0, 0)
+    l_e = l / e
+    le_h = (l + e) / h
+
+    def edge(a, b):
+        return ((l_e >= a) & (le_h >= b)) | ((l_e >= b) & (le_h >= a)) | (le_h > 4.0)
+
+    edge_val = jnp.where(l + e <= 400.0, 1.125, 1.25)
+    ramp = 1.0 + 1.25 * (eh - 290.0) / (1800.0 - 290.0)
+    hi = jnp.where(edge(1.4, 1.1), edge_val, ramp)
+    lo = jnp.where(edge(2.3, 1.6), edge_val, jnp.where(e + h > 290.0, ramp, 1.0))
+    tex = jnp.where(eh > 125.0, jnp.where(eh > 900.0, hi, lo), 1.0)
+    return yd[0:1, :], tex  # raw DC (not /8) and texture mask
+
+
+def _lum_mask(dc, mean):
+    v = dc / 8.0
+    l_min, l_max, f_max = 90.0, 255.0, 2.0
+    mean = jnp.maximum(l_min, mean)
+    f_ref = 1.0 + (mean - l_min) * (f_max - 1.0) / (l_max - l_min)
+    ramp = 1.0 + (v - mean) / (l_max - mean) * (f_max - f_ref)
+    return jnp.where(
+        v > mean, ramp, jnp.where(v < 15.0, 1.25, jnp.where(v < 25.0, 1.125, 1.0))
+    )
+
+
+def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, o_ref):
+    alpha, chunk = static
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
+    w = x.shape[-1]
+    n_chunks = w // chunk
+    nbw = w // 8
+    mean = mean_ref[pl.program_id(0), 0]
+
+    yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
+    up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
+
+    du_rows = []
+    wm = wm_ref[0]  # [4, nbw]
+    for br in range(4):
+        yd = _block_dct(yp, s_ref, k_ref, br, n_chunks, chunk)
+        ud = _block_dct(up, s_ref, k_ref, br, n_chunks, chunk)
+        dc, tex = _masks_from_y(yd)
+        mask = tex * _lum_mask(dc, mean)
+        step = alpha * mask
+        step2 = step + step
+        v = ud[17:18, :]  # coefficient [2][1]
+        base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
+        v_new = jnp.where(wm[br : br + 1, :] == 0.0, base, base + jnp.sign(v) * step)
+        amp = v_new - v  # [1, nbw]
+        # spatial delta rows: du8[r] = sum_c P[r, c] * (amp @ S_c^T)
+        amp_sc = []
+        for c in range(8):
+            outs = [
+                jnp.dot(amp[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
+                        preferred_element_type=jnp.float32)
+                for l in range(n_chunks)
+            ]
+            amp_sc.append(outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1))
+        for r in range(8):
+            acc = amp_sc[0] * b_ref[r, 0]
+            for c in range(1, 8):
+                acc = acc + amp_sc[c] * b_ref[r, c]
+            du_rows.append(acc)
+    du = jnp.concatenate(du_rows, axis=0)  # [STRIP, W]
+
+    yuv = [yp, up + du,
+           M_FWD[2, 0] * x[0] + M_FWD[2, 1] * x[1] + M_FWD[2, 2] * x[2] + OFF_FWD[2]]
+    out = [
+        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
+        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
+        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
+        for k in range(3)
+    ]
+    o_ref[0] = (
+        jnp.round(jnp.clip(jnp.stack(out), 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+def _decode_kernel(static, x_ref, mean_ref, s_ref, k_ref, o_ref):
+    alpha, chunk = static
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
+    w = x.shape[-1]
+    n_chunks = w // chunk
+    mean = mean_ref[pl.program_id(0), 0]
+    yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
+    up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
+    bits = []
+    for br in range(4):
+        yd = _block_dct(yp, s_ref, k_ref, br, n_chunks, chunk)
+        ud = _block_dct(up, s_ref, k_ref, br, n_chunks, chunk)
+        dc, tex = _masks_from_y(yd)
+        step = alpha * tex * _lum_mask(dc, mean)
+        bits.append(
+            (jnp.mod(jnp.round(ud[17:18, :] / step), 2.0) == 1.0).astype(jnp.float32)
+        )
+    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [4, nbw]
+
+
+def _dc_mean_kernel(x_ref, o_ref):
+    """Global Y-channel block-DC mean: per strip, sum of Y / 64 per block ==
+    DC of the orthonormal 8x8 DCT; accumulate sums for the host-side mean."""
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
+    yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
+    o_ref[0, 0] = jnp.sum(yp)
+
+
+def _y_dc_mean(planes, h8, w8):
+    """mean over blocks of (DCT DC / 8) = mean(Y) / 8 * 8 = sum(Y)/(64*nb)/8*8.
+
+    DC of the orthonormal 8x8 DCT = sum(block)/8, and the reference divides
+    by 8 (dct_encoder.py:52-55) giving exactly the block pixel mean; the mean
+    over blocks of block means == global pixel mean over the 8-aligned crop.
+    """
+    b = planes.shape[0]
+    x = planes[:, :, :h8, :w8].astype(jnp.float32)
+    yp = M_FWD[0, 0] * x[:, 0] + M_FWD[0, 1] * x[:, 1] + M_FWD[0, 2] * x[:, 2] + OFF_FWD[0]
+    return jnp.mean(yp, axis=(1, 2))  # [B]
+
+
+@partial(jax.jit, static_argnames=("alpha", "interpret"))
+def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20.0,
+                       interpret: bool = False):
+    """u8 planes [B, 3, H, W] + wm grid [nbh, nbw] -> marked planes (DctQim)."""
+    b, _, h, w = planes.shape
+    nbh, nbw = h // 8, w // 8
+    h8, w8 = nbh * 8, nbw * 8
+    if w8 != w or h8 != h:
+        raise ValueError("fused_dct_qim_mark requires H, W % 8 == 0")
+    chunk = pick_chunk8(w8)
+    if chunk is None:
+        raise ValueError(f"no valid lane chunk for W={w}")
+    strips = pl.cdiv(h, STRIP)
+    wm3d = jnp.pad(wm2d.astype(jnp.float32), ((0, strips * 4 - nbh), (0, 0)))
+    wm3d = wm3d.reshape(strips, 4, nbw)
+    means = _y_dc_mean(planes, h8, w8)[:, None]  # [B,1] (pixel mean == mean of DC/8)
+    s, st, k, basis = _consts8(chunk)
+    return pl.pallas_call(
+        partial(_embed_kernel, (float(alpha), chunk)),
+        out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
+        grid=(b, strips),
+        in_specs=[
+            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, chunk, chunk // 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk // 8, chunk), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, wm3d, means, jnp.asarray(s), jnp.asarray(st), jnp.asarray(k),
+      jnp.asarray(basis))
+
+
+@partial(jax.jit, static_argnames=("alpha", "interpret"))
+def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
+                          interpret: bool = False):
+    """u8 planes [B, 3, H, W] -> decoded bits [B, nbh, nbw] (DctQim)."""
+    b, _, h, w = planes.shape
+    nbh, nbw = h // 8, w // 8
+    h8, w8 = nbh * 8, nbw * 8
+    if w8 != w or h8 != h:
+        raise ValueError("fused_dct_qim_extract requires H, W % 8 == 0")
+    chunk = pick_chunk8(w8)
+    if chunk is None:
+        raise ValueError(f"no valid lane chunk for W={w}")
+    strips = pl.cdiv(h, STRIP)
+    means = _y_dc_mean(planes, h8, w8)[:, None]
+    s, st, k, basis = _consts8(chunk)
+    out = pl.pallas_call(
+        partial(_decode_kernel, (float(alpha), chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, strips, 4, nbw), jnp.float32),
+        grid=(b, strips),
+        in_specs=[
+            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, chunk, chunk // 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4, nbw), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, means, jnp.asarray(s), jnp.asarray(k))
+    return out.reshape(b, strips * 4, nbw)[:, :nbh, :]

@@ -84,16 +84,37 @@ def texture_mask(y_dct_soa: jnp.ndarray) -> jnp.ndarray:
 @dataclass(frozen=True)
 class DctQim:
     """Functional perceptual DCT-QIM codec (reference pairing: Shuffler /
-    GrayScale generators, reference tests/test.py:59)."""
+    GrayScale generators, reference tests/test.py:59).
+
+    backend: 'pallas' = single-launch fused kernels, 'xla' = jnp ops,
+    'auto' = pallas on TPU for supported shapes.
+    """
 
     alpha: float = 20.0
     blk: int = 8
     # DCT coefficient carrying the bit (reference: dct_encoder.py:33-37)
     coeff_row: int = 2
     coeff_col: int = 1
+    backend: str = "auto"
 
     def wm_capacity(self, frame_shape):
         return (1, frame_shape[0] * frame_shape[1] // 64)
+
+    def _use_fused(self, frame_shape) -> bool:
+        import jax
+
+        from ..kernels.fused_dct_qim import pick_chunk8
+
+        if self.backend == "xla":
+            return False
+        if self.backend == "auto" and jax.default_backend() != "tpu":
+            return False
+        h, w = frame_shape[1], frame_shape[2]
+        return (
+            (self.coeff_row, self.coeff_col) == (2, 1)
+            and h % 8 == 0 and w % 8 == 0
+            and pick_chunk8(w) is not None
+        )
 
     def _masks(self, y: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W] Y channel -> combined step mask [B, N]."""
@@ -145,6 +166,12 @@ class DctQim:
         b, h, w, _ = frames.shape
         nbh, nbw = _block_grid8(h, w)
         h8, w8 = nbh * 8, nbw * 8
+        if self._use_fused(frames.shape):
+            from ..kernels.fused_dct_qim import fused_dct_qim_mark
+
+            wm2d = wm.reshape(-1)[: nbh * nbw].reshape(nbh, nbw)
+            out = fused_dct_qim_mark(jnp.moveaxis(frames, -1, 1), wm2d, self.alpha)
+            return jnp.moveaxis(out, 1, -1)
         yuv = bgr_to_yuv(frames.astype(jnp.float32))
         u = yuv[..., 1]
         u_new = self._embed_channel(yuv[..., 0], u, wm)
@@ -153,4 +180,12 @@ class DctQim:
         return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
 
     def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
+        if self._use_fused(frames.shape):
+            from ..kernels.fused_dct_qim import fused_dct_qim_extract
+
+            b, h, w, _ = frames.shape
+            nbh, nbw = _block_grid8(h, w)
+            bits = fused_dct_qim_extract(jnp.moveaxis(frames, -1, 1), self.alpha)
+            bits = bits.reshape(b, nbh * nbw)
+            return jnp.pad(bits, ((0, 0), (0, h * w // 64 - nbh * nbw)))
         return self.decode_yuv(bgr_to_yuv(frames.astype(jnp.float32)))
