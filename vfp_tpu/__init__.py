@@ -12,3 +12,19 @@ device mesh, and the hot embed/extract path has a fused Pallas TPU kernel.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep `import vfp_tpu` light)."""
+    from importlib import import_module
+
+    codecs = {"DwtDctSvd", "DctQim", "DtcwtKey", "DtcwtImg",
+              "Shuffler", "DeShuffler", "GrayScale", "DeGrayScale",
+              "CorrShuffler", "DeCorrShuffler", "BlockShuffler", "DeBlockShuffler"}
+    if name in codecs:
+        return getattr(import_module(".wm", __name__), name)
+    if name in {"Embedder", "Extractor", "FrameMarker", "FrameExtractor", "MultiMarker"}:
+        return getattr(import_module(".pipeline", __name__), name)
+    if name in {"VfpConfig"}:
+        return getattr(import_module(".utils", __name__), name)
+    raise AttributeError(name)
