@@ -139,3 +139,23 @@ class TestRobustness:
             if np.array_equal(deg.degenerate(bits), PAYLOAD):
                 ok += 1
         assert ok >= int(0.75 * len(marked))
+
+
+class TestMultiChannel:
+    def test_custom_scales_roundtrip_and_oracle(self, rng):
+        """Non-default scales (two active channels) use the general path."""
+        codec = DwtDctSvd(scales=(0.0, 15.0, 9.0))
+        frame = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+        cap = codec.wm_capacity(frame.shape)
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        marked = np.asarray(
+            codec.mark_frames(jnp.asarray(frame[None]), jnp.asarray(wm, jnp.float32))
+        )[0]
+        # decoder reads channel 1 regardless of how many channels were marked
+        bits = np.asarray(codec.extract_frames(jnp.asarray(marked[None])))[0]
+        payload = DeShuffler(key=0).set_shape(PAYLOAD.shape).degenerate(bits)
+        np.testing.assert_array_equal(payload, PAYLOAD)
+        # oracle with the same scales decodes it too
+        ref_bits = oracle.extract_frame_u8(marked, scales=(0, 15, 9))
+        ref_payload = DeShuffler(key=0).set_shape(PAYLOAD.shape).degenerate(ref_bits)
+        np.testing.assert_array_equal(ref_payload, PAYLOAD)

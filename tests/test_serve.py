@@ -157,3 +157,23 @@ class TestFailureFallback:
         assert len(names) == 2
         for n in names:
             assert (tmp_path / "data" / "marked_segments" / n.split("/")[-1]).exists()
+
+
+class TestConcurrency:
+    def test_parallel_start_views_unique_numbers(self, server, uploaded):
+        """Concurrent /start-view must assign distinct view numbers."""
+        import concurrent.futures
+
+        base, _ = server
+
+        def start(i):
+            status, resp, _ = _req(
+                base, "/start-view",
+                json.dumps({"username": f"user{i}"}).encode(),
+                {"Content-Type": "application/json"}, "POST",
+            )
+            return json.loads(resp)["view_number"]
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
+            numbers = list(pool.map(start, range(8)))
+        assert len(set(numbers)) == 8, numbers

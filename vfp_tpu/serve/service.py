@@ -37,12 +37,17 @@ logger = logging.getLogger(__name__)
 
 class VfpService:
     def __init__(self, data_dir, num_copies: int = 3, segment_duration: float = 2.0, key: int = 0):
+        import threading
+
         self.data_dir = Path(data_dir)
         self.data_dir.mkdir(parents=True, exist_ok=True)
         self.num_copies = num_copies
         self.segment_duration = segment_duration
         self.key = key
         self.codec = DwtDctSvd()
+        # ThreadingHTTPServer handles requests concurrently; view_history.json
+        # updates are read-modify-write and must be serialized.
+        self._history_lock = threading.Lock()
 
     # -- paths ---------------------------------------------------------------
     @property
@@ -178,6 +183,10 @@ class VfpService:
     def start_view(self, username: str, num_copies: int | None = None) -> dict:
         if not username:
             raise ValueError("Username is required")
+        with self._history_lock:
+            return self._start_view_locked(username, num_copies)
+
+    def _start_view_locked(self, username: str, num_copies: int | None) -> dict:
         num_copies = num_copies or self.num_copies
         mapping = self._load_mapping()
         history = self._load_history()
