@@ -134,3 +134,57 @@ class TestPipeline:
         stats = Embedder(ArrayReader(frames), FrameMarker(codec, wm, batch_size=4), writer).start()
         assert stats.frames == 5
         assert writer.frames.shape[0] == 5
+
+
+class TestY4M:
+    def test_roundtrip(self, tmp_path, rng):
+        from vfp_tpu.io import Y4MReader, Y4MWriter
+
+        frames = natural_frames(rng, b=4, h=48, w=64)
+        p = tmp_path / "v.y4m"
+        with Y4MWriter(p, 64, 48, fps=24) as w:
+            w.write_batch(frames)
+        with Y4MReader(p) as r:
+            assert (r.width, r.height, r.fps) == (64, 48, 24.0)
+            got = r.read_batch(10)
+        assert got.shape == (4, 48, 64, 3)
+        # 4:2:0 conversion is lossy but close on smooth content
+        err = np.abs(got.astype(int) - frames.astype(int)).mean()
+        assert err < 8.0, err
+
+    def test_open_by_extension(self, tmp_path, rng):
+        frames = natural_frames(rng, b=2, h=32, w=32)
+        p = tmp_path / "v.y4m"
+        with open_writer(p, 32, 32) as w:
+            w.write_batch(frames)
+        r = open_reader(p)
+        assert r.read_batch(5).shape == (2, 32, 32, 3)
+        r.close()
+
+    def test_watermark_survives_chroma_subsampling(self, tmp_path, rng):
+        """.y4m write/read is a 4:2:0 chroma attack; the flagship payload
+        must survive it (the reference's output path is yuv420p,
+        frame_writer.py:36)."""
+        from vfp_tpu.io import Y4MReader, Y4MWriter
+        from vfp_tpu.wm import DwtDctSvd, Shuffler, DeShuffler
+        import jax.numpy as jnp
+
+        frames = natural_frames(rng, b=4, h=64, w=96)
+        codec = DwtDctSvd()
+        wm = jnp.asarray(
+            Shuffler(key=0).generate_wm(PAYLOAD, codec.wm_capacity(frames.shape[1:])),
+            jnp.float32,
+        )
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), wm))
+        p = tmp_path / "marked.y4m"
+        with Y4MWriter(p, 96, 64) as w:
+            w.write_batch(marked)
+        with Y4MReader(p) as r:
+            got = r.read_batch(10)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
+        ok = 0
+        for f in got:
+            bits = np.asarray(codec.extract_frames(jnp.asarray(f[None])))[0]
+            if np.array_equal(np.asarray(deg.degenerate(bits)), PAYLOAD):
+                ok += 1
+        assert ok >= 3, ok

@@ -21,6 +21,7 @@ RGB-ordered bytes end-to-end (see SURVEY.md §7 "RGB/BGR quirk").
 
 from .readers import FrameReader, ArrayReader, Cv2Reader, RawVideoReader, open_reader  # noqa: F401
 from .writers import FrameWriter, ArrayWriter, Cv2Writer, MjpegAviWriter, RawVideoWriter, open_writer  # noqa: F401
+from .y4m import Y4MReader, Y4MWriter  # noqa: F401
 from .probe import probe  # noqa: F401
 from .ffmpeg import (  # noqa: F401
     have_ffmpeg,

@@ -124,6 +124,10 @@ def open_reader(file) -> FrameReader:
     """Pick a reader by extension/magic: .rawv -> RawVideoReader, else cv2
     (or an ffmpeg pipe when the binary is available)."""
     p = Path(file)
+    if p.suffix == ".y4m":
+        from .y4m import Y4MReader
+
+        return Y4MReader(file)
     if p.suffix == ".rawv":
         try:
             from ..native import NativeRawVideoReader

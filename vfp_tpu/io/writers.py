@@ -173,6 +173,10 @@ def open_writer(file, width: int, height: int, fps: float = 30.0, quality: int =
     """Pick a writer: .rawv exact, .avi MJPEG(quality), else ffmpeg pipe when
     available, else cv2 mp4v."""
     p = Path(file)
+    if p.suffix == ".y4m":
+        from .y4m import Y4MWriter
+
+        return Y4MWriter(file, width, height, fps)
     if p.suffix == ".rawv":
         try:
             from ..native import NativeRawVideoWriter

@@ -129,11 +129,16 @@ class Embedder:
         wt.start()
 
         n = 0
+        wait_s = compute_s = 0.0
         while True:
+            t1 = time.perf_counter()
             batch = in_q.get()
+            wait_s += time.perf_counter() - t1
             if batch is _SENTINEL:
                 break
+            t1 = time.perf_counter()
             out_q.put(self.marker.mark(batch))
+            compute_s += time.perf_counter() - t1
             n += len(batch)
         out_q.put(_SENTINEL)
         rt.join()
@@ -142,6 +147,12 @@ class Embedder:
         self.writer.close()
         if err:
             raise err[0]
-        stats = PipelineStats(frames=n, seconds=time.perf_counter() - t0)
-        logger.info("embedded %d frames in %.2fs (%.1f fps)", n, stats.seconds, stats.fps)
+        stats = PipelineStats(
+            frames=n, seconds=time.perf_counter() - t0,
+            stage_seconds={"read_wait": round(wait_s, 4), "compute": round(compute_s, 4)},
+        )
+        logger.info(
+            "embedded %d frames in %.2fs (%.1f fps; read-wait %.2fs, compute %.2fs)",
+            n, stats.seconds, stats.fps, wait_s, compute_s,
+        )
         return stats
