@@ -129,3 +129,22 @@ class TestDtcwtImgCodec:
         got = (rec > rec.mean()).astype(np.uint8)
         agreement = (got == want).mean()
         assert agreement > 0.75, agreement
+
+
+class TestDtcwtRobustness:
+    def test_corr_survives_jpeg(self, rng):
+        """Spread-spectrum presence detection after JPEG re-encode."""
+        codec = DtcwtKey()
+        frames = natural_frames(rng, b=2, h=240, w=320)
+        wm = CorrShuffler(key=3).generate_wm(None, codec.wm_capacity((240, 320, 3)))
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm)))
+        deg = DeCorrShuffler(key=3)
+        ok = 0
+        for f in marked:
+            _, enc = cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 90])
+            dec = cv2.imdecode(enc, cv2.IMREAD_COLOR)
+            planes = codec.extract_frames(jnp.asarray(dec[None]))
+            corr = float(np.asarray(deg.correlation_batch(planes))[0])
+            if corr > 0.1:
+                ok += 1
+        assert ok == 2, ok
