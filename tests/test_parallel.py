@@ -95,3 +95,32 @@ class TestSegmentFarm:
             fa = pathlib.Path(a.file).read_bytes()
             fb = pathlib.Path(b.file).read_bytes()
             assert fa == fb, (a.file, b.file)
+
+
+class TestSpatialSharding:
+    def test_width_sharded_matches_unsharded(self, rng):
+        """TP-analogue: W sharded over 4 devices, bit-identical output."""
+        from vfp_tpu.parallel.sharded import sharded_mark_spatial
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(data=4, variant=1, devices=jax.devices()[:4])
+        codec = DwtDctSvd()
+        h, w = 64, 256  # 256 = 4 devices x 64 (8-aligned slices)
+        frames = natural_frames(rng, b=2, h=h, w=w)
+        payload = payload_for_segment(2, 1)
+        wm = np.asarray(Shuffler(key=0).generate_wm(payload, codec.wm_capacity((h, w, 3))))
+        nbh, nbw = (h // 2) // 4, (w // 2) // 4
+        wm2d = jnp.asarray(wm.reshape(-1)[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+
+        want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        step = sharded_mark_spatial(mesh, codec, w)
+        fr = jax.device_put(jnp.asarray(frames), NamedSharding(mesh, P(None, None, "data", None)))
+        got = np.asarray(step(fr, wm2d))
+        np.testing.assert_array_equal(got, want)
+
+    def test_rejects_misaligned_width(self):
+        from vfp_tpu.parallel.sharded import sharded_mark_spatial
+
+        mesh = make_mesh(data=4, variant=1, devices=jax.devices()[:4])
+        with pytest.raises(ValueError):
+            sharded_mark_spatial(mesh, DwtDctSvd(), 100)

@@ -75,6 +75,33 @@ def sharded_detect_step(mesh: Mesh, codec, degenerator, candidates: int):
     return jax.jit(fn)
 
 
+def sharded_mark_spatial(mesh: Mesh, codec, width: int):
+    """jitted (frames [B,H,W,3] u8 W-sharded over 'data', wm2d [nbh, nbw]) ->
+    marked frames, W-sharded — the tensor-parallel analogue for frames too
+    large for one chip's HBM (SURVEY §2.5: shard H x W of very large frames).
+
+    The codec's 8x8-pixel block structure is lane-local, so slicing W at
+    8-aligned boundaries needs no halo exchange: each device embeds its
+    width slice with its slice of the watermark block columns.  Requires
+    W % (8 * n_devices) == 0.
+    """
+    n = mesh.shape["data"]
+    if width % (8 * n):
+        raise ValueError(f"W={width} must be a multiple of {8 * n} for spatial sharding")
+
+    def per_device(frames, wm2d):
+        # frames: [B, H, W/n, 3]; wm2d: [nbh, nbw/n] (matching block columns)
+        return codec.mark_frames(frames, wm2d.reshape(-1))
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None, None, "data", None), P(None, "data")),
+        out_specs=P(None, None, "data", None),
+    )
+    return jax.jit(fn)
+
+
 def shard_batch(mesh: Mesh, frames):
     """Place a host batch with B sharded over 'data'."""
     return jax.device_put(frames, NamedSharding(mesh, P("data")))
