@@ -27,7 +27,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 from scipy.optimize import minimize
 
-L = 10
+L = 14
 TAU = (L - 1) / 2 - 0.25  # target group delay of tree A
 
 
@@ -95,15 +95,18 @@ def design_qshift():
         H = e_pass @ h0
         delay = np.mean(np.imag(H * np.exp(1j * w_pass * TAU)) ** 2)
         stop = np.mean(np.abs(e_stop @ h0) ** 2)
-        return 10 * delay + stop
+        return 50 * delay + stop
 
     best = None
-    for seed in range(12):
+    for seed in range(24):
         t0 = np.random.RandomState(seed).randn(K - 1) * 0.6
         res = minimize(objective, t0, method="Nelder-Mead",
-                       options={"maxiter": 20000, "xatol": 1e-12, "fatol": 1e-14})
-        if best is None or res.fun < best.fun:
-            best = res
+                       options={"maxiter": 40000, "xatol": 1e-13, "fatol": 1e-15})
+        res2 = minimize(objective, res.x, method="Powell",
+                        options={"maxiter": 20000, "xtol": 1e-13, "ftol": 1e-15})
+        cand = res2 if res2.fun < res.fun else res
+        if best is None or cand.fun < best.fun:
+            best = cand
     h0, h1 = _lattice_filters(full_thetas(best.x))
     orth_err = max(
         abs(np.dot(h0, h0) - 1.0),
