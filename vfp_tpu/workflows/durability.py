@@ -104,6 +104,16 @@ def run_durability(
         if original_results[i]["success"] and reencoded_results[i]["success"]
     )
     seg_rate = matches / pairs if pairs else 0.0
+    segment_preservation = {
+        str(i): {
+            "original_pattern": original_results[i]["pattern"],
+            "original_success": original_results[i]["success"],
+            "reencoded_pattern": reencoded_results[i]["pattern"],
+            "reencoded_success": reencoded_results[i]["success"],
+            "preserved": original_results[i]["success"] and reencoded_results[i]["success"],
+        }
+        for i in range(pairs)
+    }
     report = {
         "original_success": orig_ok,
         "original_total": len(original_results),
@@ -117,6 +127,7 @@ def run_durability(
         "segment_matches": matches,
         "segment_pairs": pairs,
         "segment_preservation_rate": seg_rate,
+        "segment_preservation": segment_preservation,
         "is_successful": seg_rate >= 0.75,
         "wall_seconds": time.time() - t0,
         "original_results": original_results,
