@@ -86,3 +86,35 @@ class TestResume:
         assert "All segments were watermarked successfully!" in out
         for f in sorted((base / "marked_segments").iterdir()):
             assert f.stat().st_mtime_ns == mtimes[f.name], f  # untouched
+
+
+class TestImageDetectCli:
+    def test_dtcwt_img_mark_detect_images(self, tmp_path, capsys):
+        """mark with an image watermark, detect writes recovered images."""
+        from vfp_tpu.io import RawVideoWriter
+
+        rng = np.random.RandomState(5)
+        # aspect must match BlockShuffler's 135:240 scramble grid
+        img = (rng.rand(27, 48) > 0.5).astype(np.uint8) * 255
+        wm_path = tmp_path / "wm.png"
+        cv2.imwrite(str(wm_path), img)
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 640, 480, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=4, h=480, w=640))
+        # lossless transport: the image variant's alpha=1.5 signal is weak by
+        # design (robustness is covered at codec level); this tests plumbing
+        marked = tmp_path / "marked.rawv"
+        main(["mark", str(src), str(marked), "--codec", "dtcwtImg",
+              "--wm-image", str(wm_path), "--batch-size", "4"])
+        capsys.readouterr()
+        out_dir = tmp_path / "wms"
+        main(["detect", str(marked), "--codec", "dtcwtImg",
+              "--out-dir", str(out_dir), "--wm-height", "27", "--wm-width", "48",
+              "--batch-size", "4"])
+        out = capsys.readouterr().out
+        assert "recovered 4 watermark images" in out
+        recs = sorted(out_dir.iterdir())
+        assert len(recs) == 4
+        rec = cv2.imread(str(recs[0]), cv2.IMREAD_GRAYSCALE)
+        agreement = ((rec > rec.mean()) == (img > 127)).mean()
+        assert agreement > 0.7, agreement

@@ -84,6 +84,32 @@ def cmd_detect(args):
 
     codec = VfpConfig().make_codec(args.codec)
     _, deg = _make_generator(args.codec, args.key)
+    from ..wm import DeBlockShuffler
+
+    if isinstance(deg, DeBlockShuffler):
+        # image watermark: recover one image per frame to --out-dir
+        import cv2
+        import jax.numpy as jnp
+        from pathlib import Path as _P
+
+        out_dir = _P(args.out_dir or "detected_wms")
+        out_dir.mkdir(parents=True, exist_ok=True)
+        deg.set_shape((args.wm_height, args.wm_width))
+        reader = open_reader(args.input)
+        i = 0
+        while True:
+            b = reader.read_batch(args.batch_size)
+            if b is None:
+                break
+            planes = np.asarray(codec.extract_frames(jnp.asarray(b)))
+            for p in planes:
+                rec = deg.degenerate(p)
+                cv2.imwrite(str(out_dir / f"wm_{i:04d}.png"),
+                            np.clip(rec, 0, 255).astype(np.uint8))
+                i += 1
+        reader.close()
+        print(f"recovered {i} watermark images -> {out_dir}/")
+        return
     if hasattr(deg, "set_shape"):
         deg.set_shape((args.payload_len,))
     if isinstance(deg, DeCorrShuffler):
@@ -290,6 +316,9 @@ def main(argv=None):
     d.add_argument("--key", type=int, default=0)
     d.add_argument("--threshold", choices=["midpoint", "fixed"], default="fixed")
     d.add_argument("--batch-size", type=int, default=16)
+    d.add_argument("--out-dir", default=None, help="output dir for recovered images (dtcwtImg)")
+    d.add_argument("--wm-height", type=int, default=64)
+    d.add_argument("--wm-width", type=int, default=64)
     d.set_defaults(fn=cmd_detect)
 
     tf = sub.add_parser("test-frame", help="single-image embed/extract roundtrip")

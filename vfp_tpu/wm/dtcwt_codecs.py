@@ -124,8 +124,14 @@ class _DtcwtBase:
 
     # -- uint8 frame API -------------------------------------------------------
     def mark_frames(self, frames: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
-        """[B, H, W, 3] uint8 + watermark plane [h, w] -> marked uint8."""
-        wm_hp = self.wm_highpass(wm)
+        """[B, H, W, 3] uint8 + watermark plane [h, w] -> marked uint8.
+
+        Accepts the plane flattened too (pipeline drivers pass 1-D): the
+        plane dims are a pure function of the frame shape.
+        """
+        wm_hp = self.wm_highpass(
+            jnp.asarray(wm).reshape(self.wm_capacity(frames.shape[1:]))
+        )
         yuv = bgr_to_yuv(frames.astype(jnp.float32))
         u = yuv[..., 1]
         u_new = self._embed_channel(yuv[..., 0], u, wm_hp)
