@@ -249,3 +249,10 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
         interpret=interpret,
     )(planes, jnp.asarray(s), jnp.asarray(r1), jnp.asarray(k))
     return out.reshape(b, strips * 4, nbw)[:, :nbh, :]
+
+
+# NOTE: an interleaved-input variant (reading [B, H, W, 3] u8 directly as
+# [B, H, 3W] with one-hot stride-3 channel-selection matmuls in-kernel) was
+# implemented and measured SLOWER than this planar kernel + two XLA moveaxis
+# passes (664 vs 1300 fps at B=8): ~90 small selection matmuls per strip cost
+# more than the transposes.  See git history if revisiting.
