@@ -188,3 +188,23 @@ class TestY4M:
             if np.array_equal(np.asarray(deg.degenerate(bits)), PAYLOAD):
                 ok += 1
         assert ok >= 3, ok
+
+
+class TestFfmpegGating:
+    def test_gated_errors_without_binary(self):
+        """All ffmpeg-backed paths raise cleanly when the binary is absent."""
+        from vfp_tpu.io.ffmpeg import (
+            FFmpegPipeReader,
+            FFmpegPipeWriter,
+            have_ffmpeg,
+            segment_video_ffmpeg,
+        )
+
+        if have_ffmpeg():
+            pytest.skip("ffmpeg present on this host")
+        with pytest.raises(RuntimeError):
+            FFmpegPipeReader("nope.mp4")
+        with pytest.raises(RuntimeError):
+            FFmpegPipeWriter("out.mp4", 64, 64)
+        with pytest.raises(RuntimeError):
+            segment_video_ffmpeg("in.mp4", "seg_%03d.mp4")
