@@ -159,3 +159,24 @@ class TestMultiChannel:
         ref_bits = oracle.extract_frame_u8(marked, scales=(0, 15, 9))
         ref_payload = DeShuffler(key=0).set_shape(PAYLOAD.shape).degenerate(ref_bits)
         np.testing.assert_array_equal(ref_payload, PAYLOAD)
+
+
+class TestShapeFuzz:
+    def test_many_shapes_roundtrip(self, rng):
+        """Crop/capacity plumbing across awkward shapes (both backends share
+        the XLA path on CPU; the fused kernel path is shape-gated)."""
+        codec = DwtDctSvd()
+        for (h, w) in [(37, 53), (31, 127), (64, 129), (41, 48), (48, 41), (100, 100)]:
+            frames = rng.randint(0, 256, (1, h, w, 3)).astype(np.uint8)
+            cap = codec.wm_capacity((h, w, 3))
+            if cap[1] < 8:
+                continue
+            wm = jnp.asarray(Shuffler(key=0).generate_wm(PAYLOAD, cap), jnp.float32)
+            marked = codec.mark_frames(jnp.asarray(frames), wm)
+            assert marked.shape == frames.shape, (h, w)
+            bits = codec.extract_frames(marked)
+            assert bits.shape == (1, cap[1]), (h, w)
+            rec = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape).degenerate(
+                np.asarray(bits)[0]
+            )
+            np.testing.assert_array_equal(rec, PAYLOAD, err_msg=f"{h}x{w}")
