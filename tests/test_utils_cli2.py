@@ -118,3 +118,20 @@ class TestImageDetectCli:
         rec = cv2.imread(str(recs[0]), cv2.IMREAD_GRAYSCALE)
         agreement = ((rec > rec.mean()) == (img > 127)).mean()
         assert agreement > 0.7, agreement
+
+
+class TestProfileFlag:
+    def test_mark_with_profile(self, tmp_path, capsys):
+        from vfp_tpu.io import RawVideoWriter
+
+        rng = np.random.RandomState(8)
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=8, h=64, w=96))
+        out = tmp_path / "m.rawv"
+        prof = tmp_path / "trace"
+        main(["mark", str(src), str(out), "--batch-size", "8",
+              "--profile", str(prof)])
+        captured = capsys.readouterr().out
+        assert "profiler trace ->" in captured
+        assert prof.exists() and any(prof.rglob("*"))

@@ -71,8 +71,21 @@ def cmd_mark(args):
     reader = open_reader(args.input)
     wm = generator.generate_wm(payload, codec.wm_capacity((reader.height, reader.width, 3)))
     writer = open_writer(args.output, reader.width, reader.height, reader.fps, args.quality)
-    stats = Embedder(reader, FrameMarker(codec, wm, args.batch_size), writer).start()
+
+    def run():
+        return Embedder(reader, FrameMarker(codec, wm, args.batch_size), writer).start()
+
+    if args.profile:
+        from ..utils import profile_trace
+
+        with profile_trace(args.profile):
+            stats = run()
+        print(f"profiler trace -> {args.profile}")
+    else:
+        stats = run()
     print(f"marked {stats.frames} frames in {stats.seconds:.2f}s ({stats.fps:.1f} fps)")
+    if stats.stage_seconds:
+        print(f"stages: {stats.stage_seconds}")
 
 
 def cmd_detect(args):
@@ -307,6 +320,8 @@ def main(argv=None):
     m.add_argument("--key", type=int, default=0)
     m.add_argument("--batch-size", type=int, default=16)
     m.add_argument("--quality", type=int, default=95)
+    m.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     m.set_defaults(fn=cmd_mark)
 
     d = sub.add_parser("detect", help="extract per-frame payloads")
