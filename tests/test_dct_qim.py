@@ -106,7 +106,7 @@ class TestFusedDctQim:
             pick_chunk8,
         )
 
-        assert pick_chunk8(1920) == 960
+        assert pick_chunk8(1920) == 480
         codec = DctQim(backend="xla")
         frames = natural_frames(rng, b=2, h=64, w=128)
         nbh, nbw = 8, 16

@@ -105,6 +105,6 @@ class TestFusedMegaKernels:
     def test_pick_chunk(self):
         from vfp_tpu.kernels.fused_embed import pick_chunk
 
-        assert pick_chunk(1920) == 960
+        assert pick_chunk(1920) == 480
         assert pick_chunk(128) == 128
         assert 1920 % pick_chunk(1920) == 0

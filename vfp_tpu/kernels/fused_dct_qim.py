@@ -34,7 +34,7 @@ from ..ops.dct import dct_matrix
 from ..ops.soa import dct_kron
 
 STRIP = 32  # rows per grid cell = 4 block-rows of 8
-MAX_CHUNK = 1024
+MAX_CHUNK = 512
 
 
 def pick_chunk8(w8: int) -> int | None:
@@ -84,7 +84,8 @@ def _block_dct(chan, s_ref, k_ref, br, n_chunks, chunk):
         ]
         rows.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
     m = jnp.concatenate(rows, axis=0)  # [64, nbw] c-major spatial
-    return jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32)
+    return jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _masks_from_y(yd):

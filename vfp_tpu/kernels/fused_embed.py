@@ -34,7 +34,7 @@ from ..ops.soa import dct_kron
 from .qim import _triplet_rows
 
 STRIP = 32  # rows per grid cell (u8 sublane tile)
-MAX_CHUNK = 1024  # lane-chunk cap for the selection matrices
+MAX_CHUNK = 512  # lane-chunk cap (HIGHEST-precision matmuls need VMEM headroom)
 
 
 def pick_chunk(w4: int) -> int | None:
@@ -95,14 +95,16 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
             [mc[c][4 * br + r : 4 * br + r + 1, :] for r in range(4) for c in range(4)],
             axis=0,
         )  # [16, nbw]
-        d = jnp.dot(k_ref[:], m_br, preferred_element_type=jnp.float32)  # DCT
+        d = jnp.dot(k_ref[:], m_br, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # DCT
         s0, u, v, rows = _triplet_rows(d)
         s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm[br : br + 1, :]) * scale
         ds = s_new - s0
         ddct = jnp.concatenate(
             [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0
         )
-        dm = jnp.dot(kt_ref[:], ddct, preferred_element_type=jnp.float32)  # [16, nbw]
+        dm = jnp.dot(kt_ref[:], ddct, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # [16, nbw]
         rows16 = []
         for r in range(4):
             acc = None
@@ -212,7 +214,8 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
             [mc[c][4 * br + r : 4 * br + r + 1, :] for r in range(4) for c in range(4)],
             axis=0,
         )
-        d = jnp.dot(k_ref[:], m_br, preferred_element_type=jnp.float32)
+        d = jnp.dot(k_ref[:], m_br, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
         s0, u, v, rows = _triplet_rows(d)
         bits.append((jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32))
     o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [4, nbw]

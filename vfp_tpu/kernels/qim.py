@@ -94,19 +94,22 @@ def _triplet_rows(m):
 
 def _embed_kernel(x_ref, wm_ref, k_ref, kt_ref, scale_ref, o_ref):
     scale = scale_ref[0]
-    m = jnp.dot(k_ref[:], x_ref[0], preferred_element_type=jnp.float32)  # DCT
+    m = jnp.dot(k_ref[:], x_ref[0], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # DCT
     s0, u, v, rows = _triplet_rows(m)
     wm = wm_ref[:]  # [1, T]
     s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
     ds = s_new - s0
     out_rows = [rows[r * 4 + c] + ds * (u[r] * v[c]) for r in range(4) for c in range(4)]
     m2 = jnp.concatenate(out_rows, axis=0)  # [16, T]
-    o_ref[0] = jnp.dot(kt_ref[:], m2, preferred_element_type=jnp.float32)  # IDCT
+    o_ref[0] = jnp.dot(kt_ref[:], m2, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # IDCT
 
 
 def _decode_kernel(x_ref, k_ref, scale_ref, o_ref):
     scale = scale_ref[0]
-    m = jnp.dot(k_ref[:], x_ref[0], preferred_element_type=jnp.float32)
+    m = jnp.dot(k_ref[:], x_ref[0], preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
     s0, u, v, rows = _triplet_rows(m)
     o_ref[0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
 
