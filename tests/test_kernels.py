@@ -108,3 +108,66 @@ class TestFusedMegaKernels:
         assert pick_chunk(1920) == 480
         assert pick_chunk(128) == 128
         assert 1920 % pick_chunk(1920) == 0
+
+
+class TestDtcwtKernels:
+    """Fused DT-CWT analysis kernels (interpret mode) vs the XLA transform."""
+
+    def test_level1_matches_ops(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.dtcwt_level1 import dtcwt_level1_analysis
+        from vfp_tpu.ops.dtcwt import _analysis2d
+        from vfp_tpu.ops import dtcwt_coeffs as C
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.rand(2, 72, 136).astype(np.float32) * 255)
+        out = np.asarray(dtcwt_level1_analysis(x, interpret=True))
+        for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            ll, lh, hl, hh = _analysis2d(x, C.LEGALL_H0, C.LEGALL_H1, rt, ct)
+            for band, want in enumerate((ll, lh, hl, hh)):
+                np.testing.assert_allclose(
+                    out[:, band * 4 + ci], np.asarray(want), atol=2e-3)
+
+    def test_qshift_matches_ops(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.dtcwt_level1 import dtcwt_qshift_analysis
+        from vfp_tpu.ops.dtcwt import down2, _along_rows
+        from vfp_tpu.ops import dtcwt_coeffs as C
+
+        rng = np.random.RandomState(4)
+        ll4 = jnp.asarray(rng.rand(2, 4, 72, 136).astype(np.float32) * 255)
+        out = np.asarray(dtcwt_qshift_analysis(ll4, interpret=True))
+        A = (C.QSHIFT_H0A, C.QSHIFT_H1A)
+        B = (C.QSHIFT_H0B, C.QSHIFT_H1B)
+        for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            xi = ll4[:, ci]
+            h0r, h1r = A if rt == 0 else B
+            h0c, h1c = A if ct == 0 else B
+            lo = _along_rows(down2, xi, h0r, 0)
+            hi = _along_rows(down2, xi, h1r, 0)
+            wants = (down2(lo, h0c, 0), down2(lo, h1c, 0),
+                     down2(hi, h0c, 0), down2(hi, h1c, 0))
+            for band, want in enumerate(wants):
+                np.testing.assert_allclose(
+                    out[:, band * 4 + ci], np.asarray(want), atol=2e-3)
+
+    def test_transform2d_pallas_backend_matches_xla(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.ops.dtcwt import Transform2d
+
+        rng = np.random.RandomState(5)
+        # odd dims exercise _pad_even + the wrap-pad alignment path; the
+        # final level (w=60 < 128) falls back to XLA mid-pyramid.
+        x = jnp.asarray(rng.rand(135, 240).astype(np.float32) * 255)
+        p_x = Transform2d(backend="xla").forward(x, nlevels=3)
+        p_k = Transform2d(backend="pallas").forward(x, nlevels=3)
+        np.testing.assert_allclose(np.asarray(p_x.lowpass),
+                                   np.asarray(p_k.lowpass), atol=5e-3)
+        for a, b in zip(p_x.highpasses, p_k.highpasses):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+        # and PR still holds through the kernel forward
+        rec = Transform2d(backend="xla").inverse(p_k)
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-2)

@@ -29,6 +29,39 @@ from ..ops import dtcwt_coeffs as C
 
 STRIP = 32
 HALO = 8
+MARGIN = 16  # circular top/left margin; covers L-1 = 13 for the q-shift pair
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _wrap_pad(x, h, w):
+    """Circularly pad the trailing two axes so H % STRIP == 0 and
+    W % 128 == 0 (Mosaic's HBM lane-slice alignment), with a MARGIN-row/col
+    circular prefix.  Both filter stages only read indices 2m+phase-k
+    (k < L <= 14), i.e. strictly to the 'left', so a left/top margin >= L-1
+    of wrapped content makes every output in the valid window exact; the
+    right/bottom fill is never read by valid outputs.  Returns padded x.
+    No-op (beyond the margin) when already aligned."""
+    hp = _round_up(h + MARGIN, STRIP)
+    wp = _round_up(w + MARGIN, 128)
+    pads = [(0, 0)] * (x.ndim - 2) + [(MARGIN, hp - h - MARGIN), (MARGIN, wp - w - MARGIN)]
+    return jnp.pad(x, pads, mode="wrap")
+
+
+def _valid(planes, h, w):
+    """Slice the valid window out of padded kernel output planes."""
+    m = MARGIN // 2
+    return planes[..., m : m + h // 2, m : m + w // 2]
+
+
+def kernel_eligible(h: int, w: int) -> bool:
+    """Shapes the fused kernels accept (wrap-pad needs pad <= dim)."""
+    return (h % 2 == 0 and w % 2 == 0 and h >= STRIP + MARGIN and w >= 128
+            and pick_chunk2(_round_up(w + MARGIN, 128)) is not None)
+
+
 def pick_chunk2(w: int, cap: int = 512) -> int | None:
     """Largest even divisor of w that is <= cap (2-periodic matrices)."""
     for g in range(1, w + 1):
@@ -119,14 +152,17 @@ def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
 
 @partial(jax.jit, static_argnames=("interpret",))
 def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False):
-    """f32 [B, H, W] -> [B, 16, H/2, W/2]: planes [ll*4, lh*4, hl*4, hh*4],
-    tree combos (rt, ct) row-major within each band."""
-    b, h, w = x.shape
+    """f32 [B, H, W] (H, W even, see kernel_eligible) -> [B, 16, H/2, W/2]:
+    planes [ll*4, lh*4, hl*4, hh*4], tree combos (rt, ct) row-major within
+    each band."""
+    b, h0_, w0 = x.shape
+    if not kernel_eligible(h0_, w0):
+        raise ValueError(f"shape {x.shape} not kernel-eligible")
+    x = _wrap_pad(x, h0_, w0)
+    _, h, w = x.shape
     chunk = pick_chunk2(w)
-    if h % STRIP or chunk is None:
-        raise ValueError(f"needs H % {STRIP} == 0 and an even lane chunk, got {h}x{w}")
     rsel, s2, _, _ = _consts_l1(chunk)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         partial(_kernel, (h, chunk)),
         out_shape=jax.ShapeDtypeStruct((b, 16, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
@@ -141,3 +177,107 @@ def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)
+
+
+# ---------------------------------------------------------------------------
+# Levels >= 2: same machinery with per-tree q-shift filters.  Input is the
+# 4 tree lowpasses [B, 4, h, w]; each tree's row filters fold into its own
+# [16, 48] selection matrices, column filters run as rolls per tree.
+# ---------------------------------------------------------------------------
+
+QHALO = 16  # covers the 14-tap q-shift filters (8-aligned)
+
+
+@lru_cache(maxsize=None)
+def _consts_q(chunk: int):
+    filters = {
+        0: (np.asarray(C.QSHIFT_H0A), np.asarray(C.QSHIFT_H1A)),  # tree a
+        1: (np.asarray(C.QSHIFT_H0B), np.asarray(C.QSHIFT_H1B)),  # tree b
+    }
+    # rsel[tree][fi][m, QHALO + 2m - k] = f[k]  (phase 0)
+    rsel = np.zeros((2, 2, STRIP // 2, STRIP + 2 * QHALO), np.float32)
+    for t in range(2):
+        for fi in range(2):
+            f = filters[t][fi]
+            for m in range(STRIP // 2):
+                for k, coef in enumerate(f):
+                    rsel[t, fi, m, QHALO + 2 * m - k] += coef
+    s2 = np.zeros((2, chunk, chunk // 2), np.float32)
+    for ct in range(2):
+        for n in range(chunk // 2):
+            s2[ct, 2 * n + ct, n] = 1.0
+    return rsel, s2, filters
+
+
+def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
+    h_total, chunk = static
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def body(scratch, sem):
+        main = pl.multiple_of(j * STRIP, 8)
+        top = pl.multiple_of(jax.lax.rem(j * STRIP - QHALO + h_total, h_total), 8)
+        bot = pl.multiple_of(jax.lax.rem((j + 1) * STRIP, h_total), 8)
+        c0 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(main, STRIP), :],
+            scratch.at[:, pl.ds(QHALO, STRIP), :], sem.at[0])
+        c1 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(top, QHALO), :],
+            scratch.at[:, pl.ds(0, QHALO), :], sem.at[1])
+        c2 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(bot, QHALO), :],
+            scratch.at[:, pl.ds(QHALO + STRIP, QHALO), :], sem.at[2])
+        c0.start(); c1.start(); c2.start()
+        c0.wait(); c1.wait(); c2.wait()
+
+        filters = _consts_q(chunk)[2]
+        # combos in _TREES order; plane layout matches level 1:
+        # [ll x 4 combos, lh x 4, hl x 4, hh x 4]
+        for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            x = scratch[ci]  # [STRIP + 2*QHALO, W] (tree combo ci's lowpass)
+            lo = jnp.dot(rsel_ref[rt, 0], x, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            hi = jnp.dot(rsel_ref[rt, 1], x, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+            h0c, h1c = filters[ct]
+            for band, (rows_, col_f) in enumerate(
+                [(lo, h0c), (lo, h1c), (hi, h0c), (hi, h1c)]
+            ):
+                full = _col_conv(rows_, col_f)
+                o_ref[0, band * 4 + ci] = _decimate(full, s2_ref, 0, chunk)
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((4, STRIP + 2 * QHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_qshift_analysis(ll4: jnp.ndarray, interpret: bool = False):
+    """f32 [B, 4, h, w] tree lowpasses (combo order (rt,ct) row-major) ->
+    [B, 16, h/2, w/2] planes [ll*4, lh*4, hl*4, hh*4] (q-shift level)."""
+    b, t, h0_, w0 = ll4.shape
+    if t != 4 or not kernel_eligible(h0_, w0):
+        raise ValueError(f"needs 4 trees and a kernel-eligible shape; got {ll4.shape}")
+    ll4 = _wrap_pad(ll4, h0_, w0)
+    _, _, h, w = ll4.shape
+    chunk = pick_chunk2(w)
+    rsel, s2, _ = _consts_q(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_q, (h, chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, 16, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 2, STRIP // 2, STRIP + 2 * QHALO), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)

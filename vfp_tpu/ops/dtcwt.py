@@ -159,7 +159,38 @@ def _pad_even(x):
 
 
 class Transform2d:
-    """Drop-in for dtcwt.Transform2d (forward/inverse), batched over leading axes."""
+    """Drop-in for dtcwt.Transform2d (forward/inverse), batched over leading axes.
+
+    ``backend``: 'auto' (fused Pallas analysis kernels on TPU for eligible
+    shapes, XLA otherwise), 'xla' (always the op-by-op path), or 'pallas'
+    (force the kernels; interpret mode off-TPU — for tests)."""
+
+    def __init__(self, backend: str = "auto"):
+        self.backend = backend
+
+    def _kernel_mode(self, h: int, w: int):
+        """None (XLA path) or the kernels' ``interpret`` flag."""
+        if self.backend == "xla":
+            return None
+        try:
+            from ..kernels.dtcwt_level1 import kernel_eligible
+        except Exception:  # pragma: no cover - kernels always importable
+            return None
+        if not kernel_eligible(h, w):
+            return None
+        if self.backend == "pallas":
+            return jax.default_backend() != "tpu"  # interpret off-TPU
+        return False if jax.default_backend() == "tpu" else None
+
+    @staticmethod
+    def _unpack_planes(planes):
+        """[..., 16, h, w] kernel output -> (ll dict, subs dict) in _TREES order."""
+        ll = {}
+        subs = {}
+        for ci, tc in enumerate(_TREES):
+            ll[tc] = planes[..., 0 * 4 + ci, :, :]
+            subs[tc] = tuple(planes[..., band * 4 + ci, :, :] for band in (1, 2, 3))
+        return ll, subs
 
     def forward(self, x, nlevels: int = 3) -> Pyramid:
         x = jnp.asarray(x, jnp.float32)
@@ -170,31 +201,45 @@ class Transform2d:
         sizes = []
         x, orig = _pad_even(x)
         sizes.append(orig)
+        lead = x.shape[:-2]
+        h, w = x.shape[-2:]
         # Level 1: same biorthogonal filters, tree = sampling phase.
-        ll = {}
-        subs = {}
-        for rt, ct in _TREES:
-            l, lh, hl, hh = _analysis2d(x, C.LEGALL_H0, C.LEGALL_H1, rt, ct)
-            ll[(rt, ct)] = l
-            subs[(rt, ct)] = (lh, hl, hh)
+        mode = self._kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_level1 import dtcwt_level1_analysis
+            planes = dtcwt_level1_analysis(x.reshape(-1, h, w), interpret=mode)
+            ll, subs = self._unpack_planes(planes.reshape(*lead, 16, h // 2, w // 2))
+        else:
+            ll = {}
+            subs = {}
+            for rt, ct in _TREES:
+                l, lh, hl, hh = _analysis2d(x, C.LEGALL_H0, C.LEGALL_H1, rt, ct)
+                ll[(rt, ct)] = l
+                subs[(rt, ct)] = (lh, hl, hh)
         highs.append(self._combine(subs))
         # Levels >= 2: per-tree q-shift filters, fixed phase 0.
         for lev in range(1, nlevels):
-            subs = {}
-            lvl_sizes = None
-            for rt, ct in _TREES:
-                xi, o = _pad_even(ll[(rt, ct)])
-                lvl_sizes = o
-                h0r, h1r = (C.QSHIFT_H0A, C.QSHIFT_H1A) if rt == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
-                h0c, h1c = (C.QSHIFT_H0A, C.QSHIFT_H1A) if ct == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
-                lo = _along_rows(down2, xi, h0r, 0)
-                hi = _along_rows(down2, xi, h1r, 0)
-                l = down2(lo, h0c, 0)
-                lh = down2(lo, h1c, 0)
-                hl = down2(hi, h0c, 0)
-                hh = down2(hi, h1c, 0)
-                ll[(rt, ct)] = l
-                subs[(rt, ct)] = (lh, hl, hh)
+            stack, lvl_sizes = _pad_even(jnp.stack([ll[tc] for tc in _TREES], axis=-3))
+            h, w = stack.shape[-2:]
+            mode = self._kernel_mode(h, w)
+            if mode is not None:
+                from ..kernels.dtcwt_level1 import dtcwt_qshift_analysis
+                planes = dtcwt_qshift_analysis(stack.reshape(-1, 4, h, w), interpret=mode)
+                ll, subs = self._unpack_planes(planes.reshape(*lead, 16, h // 2, w // 2))
+            else:
+                subs = {}
+                for ci, (rt, ct) in enumerate(_TREES):
+                    xi = stack[..., ci, :, :]
+                    h0r, h1r = (C.QSHIFT_H0A, C.QSHIFT_H1A) if rt == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+                    h0c, h1c = (C.QSHIFT_H0A, C.QSHIFT_H1A) if ct == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+                    lo = _along_rows(down2, xi, h0r, 0)
+                    hi = _along_rows(down2, xi, h1r, 0)
+                    l = down2(lo, h0c, 0)
+                    lh = down2(lo, h1c, 0)
+                    hl = down2(hi, h0c, 0)
+                    hh = down2(hi, h1c, 0)
+                    ll[(rt, ct)] = l
+                    subs[(rt, ct)] = (lh, hl, hh)
             sizes.append(lvl_sizes)
             highs.append(self._combine(subs))
         # Interleave the 4 tree lowpasses: row tree -> row phase, col tree -> col phase.

@@ -18,7 +18,9 @@ math on top mirrors the reference formulas, batched over frames.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.color import bgr_to_yuv, yuv_to_bgr, M_BWD
@@ -75,12 +77,26 @@ class _DtcwtBase:
         t = Transform2d()
         return t.forward(jnp.asarray(wm, jnp.float32), nlevels=1).highpasses[0]
 
+    def _joint_forward(self, y: jnp.ndarray, u: jnp.ndarray):
+        """One batched DT-CWT over [Y; U] (halves transform launches), split
+        back into (y_hp2, u_pyramid)."""
+        b = y.shape[0]
+        t = Transform2d()
+        both = t.forward(jnp.concatenate([y, u], axis=0), nlevels=self.nlevels)
+        uc = Pyramid(lowpass=both.lowpass[b:],
+                     highpasses=tuple(h[b:] for h in both.highpasses))
+        uc._sizes = both._sizes
+        return both.highpasses[1][:b], uc
+
     def _masks3(self, y: jnp.ndarray, shape3) -> jnp.ndarray:
         """[B, H, W] Y channel -> [B, h3, w3, 6] per-subband masks
         (reference: dtcwt_key_encoder.py:29-33, dtcwt_img_encoder.py:31-35)."""
         t = Transform2d()
         yc = t.forward(y, nlevels=self.nlevels)
-        hp2 = jnp.abs(yc.highpasses[1])  # [B, h2, w2, 6]
+        return self._masks3_from_hp2(yc.highpasses[1], shape3)
+
+    def _masks3_from_hp2(self, hp2c: jnp.ndarray, shape3) -> jnp.ndarray:
+        hp2 = jnp.abs(hp2c)  # [B, h2, w2, 6]
         hp2 = jnp.moveaxis(hp2, -1, 1)  # [B, 6, h2, w2]
         m = filter2d_mean2x2(hp2)
         m = rebin_mean(m, shape3)
@@ -93,9 +109,9 @@ class _DtcwtBase:
     # -- channel-level embed/decode ------------------------------------------
     def _embed_channel(self, y: jnp.ndarray, u: jnp.ndarray, wm_hp: jnp.ndarray) -> jnp.ndarray:
         t = Transform2d()
-        uc = t.forward(u, nlevels=self.nlevels)
+        y_hp2, uc = self._joint_forward(y, u)
         h3 = uc.highpasses[self.nlevels - 1]
-        masks = self._masks3(y, (h3.shape[-3], h3.shape[-2]))
+        masks = self._masks3_from_hp2(y_hp2, (h3.shape[-3], h3.shape[-2]))
         wm_plane = _corner_replicate(
             jnp.moveaxis(wm_hp, -1, 0), (h3.shape[-3], h3.shape[-2])
         )  # [6, h3, w3]
@@ -111,9 +127,9 @@ class _DtcwtBase:
 
     def _decode_channel(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         t = Transform2d()
-        uc = t.forward(u, nlevels=self.nlevels)
+        y_hp2, uc = self._joint_forward(y, u)
         h3 = uc.highpasses[self.nlevels - 1]
-        masks = self._masks3(y, (h3.shape[-3], h3.shape[-2]))
+        masks = self._masks3_from_hp2(y_hp2, (h3.shape[-3], h3.shape[-2]))
         masks = jnp.where(masks == 0, 0.01, masks)
         coeff = h3 / masks.astype(h3.dtype) / self.alpha
         hh, ww = (h3.shape[-3] + 1) // 2, (h3.shape[-2] + 1) // 2
@@ -123,6 +139,10 @@ class _DtcwtBase:
         return t.inverse(Pyramid(lowpass=low, highpasses=(folded,)))
 
     # -- uint8 frame API -------------------------------------------------------
+    # NOTE: whole-function jit is load-bearing on TPU, not just a speedup:
+    # the backend cannot materialize complex64 as a program *output*, so the
+    # _q2c/_c2q complex intermediates must stay inside one compiled graph.
+    @partial(jax.jit, static_argnums=0)
     def mark_frames(self, frames: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] uint8 + watermark plane [h, w] -> marked uint8.
 
@@ -132,15 +152,16 @@ class _DtcwtBase:
         wm_hp = self.wm_highpass(
             jnp.asarray(wm).reshape(self.wm_capacity(frames.shape[1:]))
         )
-        yuv = bgr_to_yuv(frames.astype(jnp.float32))
+        yuv = bgr_to_yuv(jnp.asarray(frames).astype(jnp.float32))
         u = yuv[..., 1]
         u_new = self._embed_channel(yuv[..., 0], u, wm_hp)
         marked = yuv_to_bgr(yuv) + (u_new - u)[..., None] * jnp.asarray(M_BWD[:, 1])
         return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
 
+    @partial(jax.jit, static_argnums=0)
     def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] uint8 -> recovered watermark planes [B, h, w]."""
-        yuv = bgr_to_yuv(frames.astype(jnp.float32))
+        yuv = bgr_to_yuv(jnp.asarray(frames).astype(jnp.float32))
         return self._decode_channel(yuv[..., 0], yuv[..., 1])
 
 
