@@ -171,3 +171,47 @@ class TestDtcwtKernels:
         # and PR still holds through the kernel forward
         rec = Transform2d(backend="xla").inverse(p_k)
         np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-2)
+
+    def test_synthesis_kernels_match_ops(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.dtcwt_synthesis import (
+            dtcwt_legall_synthesis, dtcwt_qshift_synthesis)
+        from vfp_tpu.ops.dtcwt import up2, _along_rows, _synthesis2d
+        from vfp_tpu.ops import dtcwt_coeffs as C
+
+        rng = np.random.RandomState(6)
+        planes = jnp.asarray(rng.randn(2, 16, 68, 136).astype(np.float32))
+        trees = ((0, 0), (0, 1), (1, 0), (1, 1))
+        out = np.asarray(dtcwt_qshift_synthesis(planes, interpret=True))
+        for ci, (rt, ct) in enumerate(trees):
+            ll, lh, hl, hh = (planes[:, b * 4 + ci] for b in range(4))
+            g0c, g1c = ((C.QSHIFT_G0A, C.QSHIFT_G1A) if ct == 0
+                        else (C.QSHIFT_G0B, C.QSHIFT_G1B))
+            g0r, g1r = ((C.QSHIFT_G0A, C.QSHIFT_G1A) if rt == 0
+                        else (C.QSHIFT_G0B, C.QSHIFT_G1B))
+            lo = up2(ll, g0c, 0) + up2(lh, g1c, 0)
+            hi = up2(hl, g0c, 0) + up2(hh, g1c, 0)
+            lo = jnp.roll(lo, C.QSHIFT_ROLL_A, axis=-1)
+            hi = jnp.roll(hi, C.QSHIFT_ROLL_A, axis=-1)
+            x = _along_rows(up2, lo, g0r, 0) + _along_rows(up2, hi, g1r, 0)
+            want = np.asarray(jnp.roll(x, C.QSHIFT_ROLL_A, axis=-2))
+            np.testing.assert_allclose(out[:, ci], want, atol=1e-4)
+        out1 = np.asarray(dtcwt_legall_synthesis(planes, interpret=True))
+        acc = 0.0
+        for ci, (rt, ct) in enumerate(trees):
+            ll, lh, hl, hh = (planes[:, b * 4 + ci] for b in range(4))
+            acc = acc + _synthesis2d(ll, lh, hl, hh, C.LEGALL_G0, C.LEGALL_G1,
+                                     rt, ct, C.LEGALL_ROLL, C.LEGALL_ROLL)
+        np.testing.assert_allclose(out1, np.asarray(acc * 0.25), atol=1e-4)
+
+    def test_transform2d_pallas_perfect_reconstruction(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.ops.dtcwt import Transform2d
+
+        rng = np.random.RandomState(9)
+        x = jnp.asarray(rng.rand(270, 480).astype(np.float32) * 255)
+        t = Transform2d(backend="pallas")
+        rec = t.inverse(t.forward(x, nlevels=3))
+        np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-2)

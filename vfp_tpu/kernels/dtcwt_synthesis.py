@@ -1,0 +1,264 @@
+"""Fused DT-CWT synthesis kernels: one launch per level (all 4 trees).
+
+Inverse counterpart of dtcwt_level1.py.  The XLA inverse runs ~6 sequential
+up2 convolutions per tree per level (~24 launches/level); these kernels do a
+whole level per (batch, 32-output-row strip) grid cell:
+
+  circular-halo DMA of the 16 coefficient planes -> row up-sampling,
+  row filter, and the constant output roll folded into static [32, 32]
+  scatter matrices (one MXU matmul per plane) -> column up-sampling as a
+  2-phase polyphase convolution via non-negative lane ROLLS -> per-phase
+  outputs [..., 2h, 2, w].
+
+The cheap epilogue (interleave the two column phases, circular column roll,
+crop to the pre-pad size) is one fused XLA op in the wrapper.
+
+Index algebra (matches ops/dtcwt.py up2/_synthesis2d exactly):
+  out[r] = x[(r - roll) mod 2h],  x[n] = sum_k f[k] y2[n - k],
+  y2[2j + rp] = y[j]  =>  out[r] = sum f[k] y[j], 2j = r - roll - rp - k.
+Rows: j spans [16g - 1, 16g + 22] for output strip g, so the DMA window is
+input rows [16g - 8, 16g + 24) (3 circular copies).  Columns: j = t - d with
+d = (cp - p + k)/2 >= 0 for every tap, i.e. the polyphase conv only reads to
+the LEFT -- a 8-column wrapped left margin makes any 128-unaligned width
+exact, same trick as the analysis kernels.
+
+Reference behavior: dtcwt package Transform2d.inverse as used by
+src/offmark/embed/dtcwt_key_encoder.py:36 and
+src/offmark/extract/dtcwt_key_decoder.py:36 (re-derived, not copied).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops import dtcwt_coeffs as C
+
+SHALO = 8  # input-row halo (top and bottom) around the 16 rows per strip
+SMARGIN_W = 8  # wrapped left margin (columns); covers max roll d = 6
+_TREES = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+
+def _round_up(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _row_matrix(f, roll: int, rp: int) -> np.ndarray:
+    """[32, 32] scatter: out_strip_row r <- sum_k f[k] y[j_loc],
+    k = r - roll - rp - 2*(j_loc - SHALO) - 32*g + 32*g (strip-invariant)."""
+    r_mat = np.zeros((32, 32), np.float32)
+    for r in range(32):
+        for j_loc in range(32):
+            k = r - roll - rp - 2 * (j_loc - SHALO)
+            if 0 <= k < len(f) and (r - roll - rp - k) % 2 == 0:
+                r_mat[r, j_loc] = f[k]
+    return r_mat
+
+
+def _col_taps(f, cp: int, p: int):
+    """[(d, coef)] with y read at t - d: k = p - cp + 2d, d >= 0."""
+    taps = []
+    for d in range(len(f)):
+        k = p - cp + 2 * d
+        if 0 <= k < len(f):
+            taps.append((d, float(f[k])))
+    return taps
+
+
+def _poly_col(x, taps):
+    acc = None
+    for d, coef in taps:
+        term = (pltpu.roll(x, d, axis=1) if d else x) * coef
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx):
+    """Copy input rows [16g - 8, 16g + 24) (circular) of all planes."""
+    main = pl.multiple_of(16 * g, 8)
+    top = pl.multiple_of(jax.lax.rem(16 * g - SHALO + hp, hp), 8)
+    bot = pl.multiple_of(jax.lax.rem(16 * g + 16, hp), 8)
+    src = x_hbm.at[b] if planes_idx else x_hbm
+    c0 = pltpu.make_async_copy(
+        src.at[:, pl.ds(main, 16), :], scratch.at[:, pl.ds(SHALO, 16), :], sem.at[0])
+    c1 = pltpu.make_async_copy(
+        src.at[:, pl.ds(top, SHALO), :], scratch.at[:, pl.ds(0, SHALO), :], sem.at[1])
+    c2 = pltpu.make_async_copy(
+        src.at[:, pl.ds(bot, SHALO), :], scratch.at[:, pl.ds(SHALO + 16, SHALO), :],
+        sem.at[2])
+    c0.start(); c1.start(); c2.start()
+    c0.wait(); c1.wait(); c2.wait()
+
+
+@lru_cache(maxsize=None)
+def _consts_syn_q():
+    g = {0: (np.asarray(C.QSHIFT_G0A), np.asarray(C.QSHIFT_G1A)),
+         1: (np.asarray(C.QSHIFT_G0B), np.asarray(C.QSHIFT_G1B))}
+    roll = C.QSHIFT_ROLL_A  # == ROLL_B
+    rmat = np.stack([np.stack([_row_matrix(g[t][fi], roll, 0) for fi in range(2)])
+                     for t in range(2)])  # [tree, fi, 32, 32]
+    taps = {(t, fi, p): _col_taps(g[t][fi], 0, p)
+            for t in range(2) for fi in range(2) for p in range(2)}
+    return rmat, taps
+
+
+def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
+    (hp,) = static
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    def body(scratch, sem):
+        _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
+        _, taps = _consts_syn_q()
+        for ci, (rt, ct) in enumerate(_TREES):
+            # rows: [32, 32] @ [32, W] per plane; g0r for the lo pair, g1r hi
+            r_ll = jnp.dot(rmat_ref[rt, 0], scratch[0 * 4 + ci],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            r_lh = jnp.dot(rmat_ref[rt, 0], scratch[1 * 4 + ci],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            r_hl = jnp.dot(rmat_ref[rt, 1], scratch[2 * 4 + ci],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            r_hh = jnp.dot(rmat_ref[rt, 1], scratch[3 * 4 + ci],
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+            for p in range(2):
+                o_ref[0, ci, p] = (
+                    _poly_col(r_ll, taps[(ct, 0, p)])
+                    + _poly_col(r_lh, taps[(ct, 1, p)])
+                    + _poly_col(r_hl, taps[(ct, 0, p)])
+                    + _poly_col(r_hh, taps[(ct, 1, p)])
+                )
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((16, 16 + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@lru_cache(maxsize=None)
+def _consts_syn_l1():
+    g0, g1 = np.asarray(C.LEGALL_G0), np.asarray(C.LEGALL_G1)
+    roll = C.LEGALL_ROLL
+    rmat = np.stack([np.stack([_row_matrix((g0, g1)[fi], roll, rt) for fi in range(2)])
+                     for rt in range(2)])  # [rt, fi, 32, 32]
+    taps = {(ct, fi, p): _col_taps((g0, g1)[fi], ct, p)
+            for ct in range(2) for fi in range(2) for p in range(2)}
+    return rmat, taps
+
+
+def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
+    (hp,) = static
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    def body(scratch, sem):
+        _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
+        _, taps = _consts_syn_l1()
+        for p in range(2):
+            acc = None
+            for ci, (rt, ct) in enumerate(_TREES):
+                r_ll = jnp.dot(rmat_ref[rt, 0], scratch[0 * 4 + ci],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                r_lh = jnp.dot(rmat_ref[rt, 0], scratch[1 * 4 + ci],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                r_hl = jnp.dot(rmat_ref[rt, 1], scratch[2 * 4 + ci],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                r_hh = jnp.dot(rmat_ref[rt, 1], scratch[3 * 4 + ci],
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                term = (_poly_col(r_ll, taps[(ct, 0, p)])
+                        + _poly_col(r_lh, taps[(ct, 1, p)])
+                        + _poly_col(r_hl, taps[(ct, 0, p)])
+                        + _poly_col(r_hh, taps[(ct, 1, p)]))
+                acc = term if acc is None else acc + term
+            o_ref[0, p] = acc * 0.25
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((16, 16 + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+def synthesis_eligible(h: int, w: int) -> bool:
+    """Coefficient-plane shapes the synthesis kernels accept."""
+    return h >= 32 and w >= 128
+
+
+def _prep(planes, h, w):
+    """Wrap-pad planes [..., h, w] for strip/lane alignment."""
+    hp = _round_up(h + 2 * SHALO, 16)
+    wp = _round_up(w + SMARGIN_W, 128)
+    pads = [(0, 0)] * (planes.ndim - 2) + [(SHALO, hp - h - SHALO),
+                                           (SMARGIN_W, wp - w - SMARGIN_W)]
+    return jnp.pad(planes, pads, mode="wrap"), hp, wp
+
+
+def _finish(phases, h, w, roll):
+    """[..., 2, 2hp, wp] (phase-major) -> interleave, circular col roll, crop."""
+    valid = phases[..., :, 2 * SHALO : 2 * SHALO + 2 * h,
+                   SMARGIN_W : SMARGIN_W + w]
+    x = jnp.moveaxis(valid, -3, -1).reshape(*valid.shape[:-3], 2 * h, 2 * w)
+    return jnp.roll(x, roll, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False):
+    """[B, 16, h, w] planes [ll*4, lh*4, hl*4, hh*4] (combos (rt,ct)
+    row-major) -> [B, 4, 2h, 2w] tree lowpasses, BEFORE per-level cropping."""
+    b, t, h, w = planes.shape
+    if t != 16 or not synthesis_eligible(h, w):
+        raise ValueError(f"needs 16 planes and an eligible shape; got {planes.shape}")
+    planes, hp, wp = _prep(planes, h, w)
+    rmat, _ = _consts_syn_q()
+    out = pl.pallas_call(
+        partial(_kernel_syn_q, (hp,)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, 2, 2 * hp, wp), jnp.float32),
+        grid=(b, hp // 16),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 2, 32, 32), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 2, 32, wp), lambda i, j: (i, 0, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(rmat))
+    return _finish(out, h, w, C.QSHIFT_ROLL_A)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False):
+    """[B, 16, h, w] level-1 planes -> [B, 2h, 2w] reconstruction (the 4-tree
+    average), BEFORE final cropping."""
+    b, t, h, w = planes.shape
+    if t != 16 or not synthesis_eligible(h, w):
+        raise ValueError(f"needs 16 planes and an eligible shape; got {planes.shape}")
+    planes, hp, wp = _prep(planes, h, w)
+    rmat, _ = _consts_syn_l1()
+    out = pl.pallas_call(
+        partial(_kernel_syn_l1, (hp,)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
+        grid=(b, hp // 16),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 2, 32, 32), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 32, wp), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(rmat))
+    return _finish(out, h, w, C.LEGALL_ROLL)

@@ -182,6 +182,29 @@ class Transform2d:
             return jax.default_backend() != "tpu"  # interpret off-TPU
         return False if jax.default_backend() == "tpu" else None
 
+    def _syn_kernel_mode(self, h: int, w: int):
+        """None (XLA path) or the synthesis kernels' ``interpret`` flag."""
+        if self.backend == "xla":
+            return None
+        try:
+            from ..kernels.dtcwt_synthesis import synthesis_eligible
+        except Exception:  # pragma: no cover - kernels always importable
+            return None
+        if not synthesis_eligible(h, w):
+            return None
+        if self.backend == "pallas":
+            return jax.default_backend() != "tpu"
+        return False if jax.default_backend() == "tpu" else None
+
+    @staticmethod
+    def _pack_planes(ll, subs):
+        """(ll dict, subs dict) -> [..., 16, h, w] in the kernels' plane order."""
+        return jnp.stack(
+            [ll[tc] for tc in _TREES]
+            + [subs[tc][band] for band in range(3) for tc in _TREES],
+            axis=-3,
+        )
+
     @staticmethod
     def _unpack_planes(planes):
         """[..., 16, h, w] kernel output -> (ll dict, subs dict) in _TREES order."""
@@ -277,6 +300,20 @@ class Transform2d:
         ll = {(rt, ct): low[..., rt::2, ct::2] for rt, ct in _TREES}
         for lev in range(nlevels - 1, 0, -1):
             subs = self._split(highs[lev])
+            h, w = ll[(0, 0)].shape[-2:]
+            mode = self._syn_kernel_mode(h, w)
+            if mode is not None:
+                from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis
+                planes = self._pack_planes(ll, subs)
+                lead = planes.shape[:-3]
+                out = dtcwt_qshift_synthesis(
+                    planes.reshape(-1, 16, h, w), interpret=mode
+                ).reshape(*lead, 4, 2 * h, 2 * w)
+                if sizes is not None:
+                    oh, ow = sizes[lev]
+                    out = out[..., :oh, :ow]
+                ll = {tc: out[..., ci, :, :] for ci, tc in enumerate(_TREES)}
+                continue
             for rt, ct in _TREES:
                 lh, hl, hh = subs[(rt, ct)]
                 g0r, g1r = (C.QSHIFT_G0A, C.QSHIFT_G1A) if rt == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
@@ -295,6 +332,19 @@ class Transform2d:
                 ll[(rt, ct)] = x
         # Level 1 inverse.
         subs = self._split(highs[0])
+        h, w = ll[(0, 0)].shape[-2:]
+        mode = self._syn_kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis
+            planes = self._pack_planes(ll, subs)
+            lead = planes.shape[:-3]
+            out = dtcwt_legall_synthesis(
+                planes.reshape(-1, 16, h, w), interpret=mode
+            ).reshape(*lead, 2 * h, 2 * w)
+            if sizes is not None:
+                oh, ow = sizes[0]
+                out = out[..., :oh, :ow]
+            return out[0] if squeeze else out
         out = 0.0
         for rt, ct in _TREES:
             lh, hl, hh = subs[(rt, ct)]
