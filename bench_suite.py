@@ -102,6 +102,49 @@ def bench_embed_1080p(quick):
     return {"batch": b, "embed_fps_chip": round(b * iters / dt, 1)}
 
 
+def bench_dtcwt_1080p(quick):
+    """Config 2b: DT-CWT spread-spectrum codec throughput on chip (fused
+    per-level Pallas transform kernels; reference runs this codec far below
+    realtime on CPU)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.wm.dtcwt_codecs import DtcwtKey
+
+    codec = DtcwtKey()
+    rng = np.random.RandomState(0)
+    b = 4 if quick else 8
+    frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
+    wm = jnp.asarray(
+        rng.randint(0, 2, codec.wm_capacity((1080, 1920, 3))), jnp.float32)
+
+    # correctness on chip first: mark -> extract -> keyed correlation
+    marked = codec.mark_frames(frames, wm)
+    rec = np.asarray(codec.extract_frames(marked))
+    corr = float(np.corrcoef(
+        rec.reshape(b, -1).mean(0), np.asarray(wm).reshape(-1) * 2 - 1)[0, 1])
+
+    @partial(jax.jit, static_argnums=2)
+    def loop(x, wm, n):
+        def body(i, x):
+            m = codec.mark_frames(jnp.clip(x, 0, 255).astype(jnp.uint8), wm)
+            return m.astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 4
+    x0 = frames.astype(jnp.float32)
+    int(loop(x0, wm, iters))
+    t0 = time.perf_counter()
+    int(loop(x0, wm, iters))
+    dt = time.perf_counter() - t0
+    return {"batch": b, "mark_fps_chip": round(b * iters / dt, 1),
+            "extract_correlation": round(corr, 4)}
+
+
 def bench_hls_workflow(quick):
     """Config 3: segment + mark 3 variants/segment + playlists + verify."""
     import numpy as np
@@ -233,6 +276,7 @@ def main():
     for name, fn in [
         ("roundtrip_480p", bench_roundtrip_480p),
         ("embed_1080p_chip", bench_embed_1080p),
+        ("dtcwt_1080p_chip", bench_dtcwt_1080p),
         ("hls_workflow", bench_hls_workflow),
         ("leak_trace", bench_leak_trace),
         ("concurrent_serve", bench_concurrent_serve),
