@@ -102,3 +102,37 @@ class TestKnownLimits:
         adj = np.clip(frames.astype(np.float32) * 1.3, 0, 255).astype(np.uint8)
         ok, n = _recovered(codec, adj)
         assert ok < n
+
+
+class TestDtcwtRobustness:
+    """DT-CWT spread-spectrum presence detection under lossy re-encode
+    (reference use-case: detect/de_corr_shuffler.py correlation > 0.1)."""
+
+    def test_jpeg_survives(self):
+        from vfp_tpu.wm.dtcwt_codecs import DtcwtKey
+
+        rng = np.random.RandomState(11)
+        codec = DtcwtKey()
+        base = rng.randint(60, 200, (270, 480, 3)).astype(np.uint8)
+        frames = np.stack([
+            np.clip(base.astype(np.int16) + rng.randint(-5, 6, base.shape),
+                    0, 255).astype(np.uint8)
+            for _ in range(3)
+        ])
+        wm = jnp.asarray(
+            rng.randint(0, 2, codec.wm_capacity((270, 480, 3))), jnp.float32)
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), wm))
+        jpg = np.stack([
+            cv2.imdecode(cv2.imencode(".jpg", m,
+                                      [cv2.IMWRITE_JPEG_QUALITY, 80])[1],
+                         cv2.IMREAD_COLOR)
+            for m in marked
+        ])
+        rec = np.asarray(codec.extract_frames(jnp.asarray(jpg)))
+        ref = np.asarray(wm).reshape(-1) * 2 - 1
+        corr = float(np.corrcoef(rec.reshape(3, -1).mean(0), ref)[0, 1])
+        assert corr > 0.3, corr
+        # and an unmarked clip stays below threshold
+        rec0 = np.asarray(codec.extract_frames(jnp.asarray(frames)))
+        corr0 = float(np.corrcoef(rec0.reshape(3, -1).mean(0), ref)[0, 1])
+        assert abs(corr0) < 0.1, corr0
