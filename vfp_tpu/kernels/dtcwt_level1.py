@@ -57,8 +57,13 @@ def _valid(planes, h, w):
 
 
 def kernel_eligible(h: int, w: int) -> bool:
-    """Shapes the fused kernels accept (wrap-pad needs pad <= dim)."""
-    return (h % 2 == 0 and w % 2 == 0 and h >= STRIP + MARGIN and w >= 128
+    """Shapes the fused kernels accept.  Bounds come from jnp.pad(mode='wrap')
+    needing each pad side <= the dim: height pads are (16, <=31) so h >= 32;
+    width pads are (16, <=127 but <= 128 - w - 16 + 128...) — w >= 64 keeps
+    the right fill (<= 48 at w=64) within bounds."""
+    return (h % 2 == 0 and w % 2 == 0 and h >= 32 and w >= 64
+            and _round_up(w + MARGIN, 128) - w - MARGIN <= w
+            and _round_up(h + MARGIN, STRIP) - h - MARGIN <= h
             and pick_chunk2(_round_up(w + MARGIN, 128)) is not None)
 
 

@@ -193,8 +193,11 @@ def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
 
 
 def synthesis_eligible(h: int, w: int) -> bool:
-    """Coefficient-plane shapes the synthesis kernels accept."""
-    return h >= 32 and w >= 128
+    """Coefficient-plane shapes the synthesis kernels accept (wrap-pad needs
+    each pad side <= the dim; see kernel_eligible in dtcwt_level1.py)."""
+    return (h >= 32 and w >= 64
+            and _round_up(w + SMARGIN_W, 128) - w - SMARGIN_W <= w
+            and _round_up(h + 2 * SHALO, 16) - h - SHALO <= h)
 
 
 def _prep(planes, h, w):
