@@ -124,3 +124,25 @@ class TestSpatialSharding:
         mesh = make_mesh(data=4, variant=1, devices=jax.devices()[:4])
         with pytest.raises(ValueError):
             sharded_mark_spatial(mesh, DwtDctSvd(), 100)
+
+
+class TestShardedDtcwt:
+    """The sharding path is codec-generic: DT-CWT codecs (whole-function
+    jitted for the complex64 restriction) compose with shard_map/vmap."""
+
+    def test_dtcwt_mark_matches_single_device(self, rng):
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.parallel import make_mesh, sharded_mark_step
+        from vfp_tpu.wm.dtcwt_codecs import DtcwtKey
+
+        mesh = make_mesh(data=4, variant=2)
+        codec = DtcwtKey()
+        frames = rng.randint(0, 256, (4, 64, 112, 3)).astype("uint8")
+        cap = codec.wm_capacity((64, 112, 3))
+        wms = rng.randint(0, 2, (2, cap[0] * cap[1])).astype("float32")
+        step = sharded_mark_step(mesh, codec)
+        out = np.asarray(step(jnp.asarray(frames), jnp.asarray(wms)))
+        for v in range(2):
+            want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wms[v])))
+            np.testing.assert_array_equal(out[v], want)
