@@ -93,8 +93,38 @@ def _consts_l1(chunk: int):
     return rsel, s2, h0, h1
 
 
-def _col_conv(x, f):
-    """Circular column convolution via lane rolls: y[n] = sum f[k] x[n-k]."""
+class RollCache:
+    """Share pltpu.roll results across the filters that consume the same
+    source array (e.g. h0c and h1c both roll `lo` by the same shifts)."""
+
+    def __init__(self):
+        self._cache = {}
+        self._convs = {}
+
+    def get(self, x, k):
+        if k == 0:
+            return x
+        key = (id(x), k)
+        if key not in self._cache:
+            self._cache[key] = pltpu.roll(x, k, axis=1)
+        return self._cache[key]
+
+    def conv(self, x, f):
+        key = (id(x), id(f))
+        if key not in self._convs:
+            acc = None
+            for k, coef in enumerate(f):
+                term = self.get(x, k) * float(coef)
+                acc = term if acc is None else acc + term
+            self._convs[key] = acc
+        return self._convs[key]
+
+
+def _col_conv(x, f, rc: RollCache | None = None):
+    """Circular column convolution via lane rolls: y[n] = sum f[k] x[n-k].
+    With a RollCache, both the rolls and whole conv results are shared."""
+    if rc is not None:
+        return rc.conv(x, f)
     acc = None
     for k, coef in enumerate(f):
         term = (pltpu.roll(x, k, axis=1) if k else x) * float(coef)
@@ -144,11 +174,12 @@ def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
         # col stage per tree combo; output plane order:
         # [ll x 4 combos, lh x 4, hl x 4, hh x 4], combos (rt, ct) row-major
         h0, h1 = _consts_l1(chunk)[2], _consts_l1(chunk)[3]
+        rc = RollCache()
         for band, (row_f, col_f) in enumerate(
             [(0, h0), (0, h1), (1, h0), (1, h1)]  # ll, lh, hl, hh
         ):
             for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-                full = _col_conv(rows[(row_f, rt)], col_f)
+                full = _col_conv(rows[(row_f, rt)], col_f, rc)
                 o_ref[0, band * 4 + ci] = _decimate(full, s2_ref, ct, chunk)
 
     pl.run_scoped(body, scratch=pltpu.VMEM((STRIP + 2 * HALO, x_hbm.shape[-1]), jnp.float32),
@@ -246,10 +277,11 @@ def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
             hi = jnp.dot(rsel_ref[rt, 1], x, preferred_element_type=jnp.float32,
                          precision=jax.lax.Precision.HIGHEST)
             h0c, h1c = filters[ct]
+            rc = RollCache()
             for band, (rows_, col_f) in enumerate(
                 [(lo, h0c), (lo, h1c), (hi, h0c), (hi, h1c)]
             ):
-                full = _col_conv(rows_, col_f)
+                full = _col_conv(rows_, col_f, rc)
                 o_ref[0, band * 4 + ci] = _decimate(full, s2_ref, 0, chunk)
 
     pl.run_scoped(

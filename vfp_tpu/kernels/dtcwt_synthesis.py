@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import dtcwt_coeffs as C
+from .dtcwt_level1 import RollCache
 
 SHALO = 8  # input-row halo (top and bottom) around the 16 rows per strip
 SMARGIN_W = 8  # wrapped left margin (columns); covers max roll d = 6
@@ -70,10 +71,12 @@ def _col_taps(f, cp: int, p: int):
     return taps
 
 
-def _poly_col(x, taps):
+def _poly_col(x, taps, rc: RollCache | None = None):
     acc = None
     for d, coef in taps:
-        term = (pltpu.roll(x, d, axis=1) if d else x) * coef
+        rolled = rc.get(x, d) if rc is not None else (
+            pltpu.roll(x, d, axis=1) if d else x)
+        term = rolled * coef
         acc = term if acc is None else acc + term
     return acc
 
@@ -129,12 +132,13 @@ def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
             r_hh = jnp.dot(rmat_ref[rt, 1], scratch[3 * 4 + ci],
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST)
+            rc = RollCache()
             for p in range(2):
                 o_ref[0, ci, p] = (
-                    _poly_col(r_ll, taps[(ct, 0, p)])
-                    + _poly_col(r_lh, taps[(ct, 1, p)])
-                    + _poly_col(r_hl, taps[(ct, 0, p)])
-                    + _poly_col(r_hh, taps[(ct, 1, p)])
+                    _poly_col(r_ll, taps[(ct, 0, p)], rc)
+                    + _poly_col(r_lh, taps[(ct, 1, p)], rc)
+                    + _poly_col(r_hl, taps[(ct, 0, p)], rc)
+                    + _poly_col(r_hh, taps[(ct, 1, p)], rc)
                 )
 
     pl.run_scoped(
@@ -163,25 +167,24 @@ def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
     def body(scratch, sem):
         _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
         _, taps = _consts_syn_l1()
+        rc = RollCache()
+        rows = {}
+        for ci, (rt, ct) in enumerate(_TREES):
+            rows[ci] = tuple(
+                jnp.dot(rmat_ref[rt, 0 if band < 2 else 1],
+                        scratch[band * 4 + ci],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                for band in range(4)
+            )
         for p in range(2):
             acc = None
             for ci, (rt, ct) in enumerate(_TREES):
-                r_ll = jnp.dot(rmat_ref[rt, 0], scratch[0 * 4 + ci],
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                r_lh = jnp.dot(rmat_ref[rt, 0], scratch[1 * 4 + ci],
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                r_hl = jnp.dot(rmat_ref[rt, 1], scratch[2 * 4 + ci],
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                r_hh = jnp.dot(rmat_ref[rt, 1], scratch[3 * 4 + ci],
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                term = (_poly_col(r_ll, taps[(ct, 0, p)])
-                        + _poly_col(r_lh, taps[(ct, 1, p)])
-                        + _poly_col(r_hl, taps[(ct, 0, p)])
-                        + _poly_col(r_hh, taps[(ct, 1, p)]))
+                r_ll, r_lh, r_hl, r_hh = rows[ci]
+                term = (_poly_col(r_ll, taps[(ct, 0, p)], rc)
+                        + _poly_col(r_lh, taps[(ct, 1, p)], rc)
+                        + _poly_col(r_hl, taps[(ct, 0, p)], rc)
+                        + _poly_col(r_hh, taps[(ct, 1, p)], rc))
                 acc = term if acc is None else acc + term
             o_ref[0, p] = acc * 0.25
 
