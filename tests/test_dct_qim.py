@@ -132,3 +132,36 @@ class TestFusedDctQim:
         rec = np.asarray(deg.degenerate_batch(jnp.asarray(padded)))
         for p in rec:
             np.testing.assert_array_equal(p, PAYLOAD)
+
+    def test_padded_width_pixel_exact(self, rng):
+        """W=856 (prime block count, the round-1 VMEM OOM shape): the
+        zero-pad path must stay pixel-exact — all-zero padded blocks make
+        the perceptual masks 0/0 = NaN, which the kernel must contain."""
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.fused_dct_qim import (
+            MAX_CHUNK, MAX_CHUNKS, fused_dct_qim_extract, fused_dct_qim_mark,
+            padded_width8, pick_chunk8)
+
+        for w in range(640, 3841, 8):
+            wp = padded_width8(w)
+            chunk = pick_chunk8(wp)
+            assert wp is not None and chunk <= MAX_CHUNK and wp // chunk <= MAX_CHUNKS, w
+        codec = DctQim(backend="xla")
+        frames = natural_frames(rng, b=1, h=32, w=856)
+        nbh, nbw = 4, 107
+        wm = np.asarray(
+            Shuffler(key=0).generate_wm(PAYLOAD, codec.wm_capacity((32, 856, 3)))
+        ).reshape(-1)
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        got = np.asarray(
+            fused_dct_qim_mark(jnp.asarray(frames.transpose(0, 3, 1, 2)), wm2d, 20.0,
+                               interpret=True)
+        ).transpose(0, 2, 3, 1)
+        want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        np.testing.assert_array_equal(got, want)
+        bits = np.asarray(
+            fused_dct_qim_extract(jnp.asarray(got.transpose(0, 3, 1, 2)), 20.0,
+                                  interpret=True))
+        assert bits.shape == (1, nbh, nbw)
+        wantbits = np.asarray(codec.extract_frames(jnp.asarray(got)))[:, : nbh * nbw]
+        np.testing.assert_array_equal(bits.reshape(1, -1), wantbits)

@@ -109,6 +109,64 @@ class TestFusedMegaKernels:
         assert pick_chunk(128) == 128
         assert 1920 % pick_chunk(1920) == 0
 
+    def test_eligibility_implies_compilable_chunking(self):
+        """Regression for the W=856 VMEM compile OOM: every width the codec
+        green-lights for the fused kernel must resolve to bounded chunking
+        (chunk <= MAX_CHUNK, segments <= MAX_CHUNKS); 107 in-kernel segments
+        at chunk=8 blew the 16 MB scoped-VMEM limit on real hardware."""
+        from vfp_tpu.kernels.fused_embed import (
+            MAX_CHUNK, MAX_CHUNKS, padded_width, pick_chunk)
+        from vfp_tpu.wm.dwt_dct_svd import DwtDctSvd
+
+        codec = DwtDctSvd(backend="pallas")
+        for w in range(640, 3841, 4):
+            assert codec._fused_ok((1, 480, w, 3))
+            wp = padded_width(w)
+            chunk = pick_chunk(wp)
+            assert wp >= w and wp % 8 == 0 and wp - w < 520, w
+            assert chunk is not None and chunk % 8 == 0, w
+            assert chunk <= MAX_CHUNK and wp // chunk <= MAX_CHUNKS, w
+        # the exact round-1 failure: 856 has a prime block count (107)
+        assert padded_width(856) == 864 and pick_chunk(864) == 432
+
+    def test_mark_padded_width_matches_xla(self, rng):
+        """W=856 (prime block count) exercises the zero-pad + slice path."""
+        from vfp_tpu.kernels.fused_embed import fused_mark_planar, fused_extract_planar
+        from vfp_tpu.wm import DeShuffler
+
+        frames, codec, (nbh, nbw), cap, payload, wm = self._setup(rng, h=40, w=856)
+        planes = jnp.asarray(frames.transpose(0, 3, 1, 2))
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        got = fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True)
+        assert got.shape == planes.shape
+        out = np.asarray(got).transpose(0, 2, 3, 1)
+        assert np.all(np.isfinite(out.astype(np.float64)))
+        want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        assert (np.abs(out.astype(int) - want.astype(int)) == 0).mean() > 0.98
+        bits = np.asarray(fused_extract_planar(got, 15.0, 1, interpret=True))
+        assert bits.shape == (2, nbh, nbw)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        rec = codec.extract_frames(jnp.asarray(out))
+        for p in np.asarray(deg.degenerate_batch(rec)):
+            np.testing.assert_array_equal(p, payload)
+
+    def test_h_tail_rows_pass_through_unmarked(self, rng):
+        """h4 % 8 != 0 (e.g. 270p-class heights): the partial LL block-row
+        beyond the grid must be pure color roundtrip, matching the XLA path
+        pixel-exactly (the QIM delta there is exactly zero, so no borderline
+        -bin tolerance applies)."""
+        from vfp_tpu.kernels.fused_embed import fused_mark_planar
+
+        frames, codec, (nbh, nbw), cap, payload, wm = self._setup(rng, h=78, w=128)
+        assert 8 * nbh < 78 // 4 * 4  # tail rows exist inside the DWT crop
+        planes = jnp.asarray(frames.transpose(0, 3, 1, 2))
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        got = np.asarray(
+            fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True)
+        ).transpose(0, 2, 3, 1)
+        want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        np.testing.assert_array_equal(got[:, 8 * nbh :], want[:, 8 * nbh :])
+
 
 class TestDtcwtKernels:
     """Fused DT-CWT analysis kernels (interpret mode) vs the XLA transform."""

@@ -35,14 +35,27 @@ from ..ops.soa import dct_kron
 
 STRIP = 32  # rows per grid cell = 4 block-rows of 8
 MAX_CHUNK = 512
+MAX_CHUNKS = 16  # in-kernel segment cap (scoped-VMEM growth; see fused_embed)
 
 
 def pick_chunk8(w8: int) -> int | None:
-    """Largest lane chunk <= MAX_CHUNK with chunk % 8 == 0 and w8 % chunk == 0."""
+    """Largest lane chunk <= MAX_CHUNK with chunk % 8 == 0, w8 % chunk == 0,
+    and at most MAX_CHUNKS segments per strip."""
     nbw = w8 // 8
-    for g in range(1, nbw + 1):
+    for g in range(1, MAX_CHUNKS + 1):
         if nbw % g == 0 and (w8 // g) <= MAX_CHUNK:
             return w8 // g
+    return None
+
+
+def padded_width8(w8: int) -> int | None:
+    """Smallest W' >= w8 (multiple of 8) with a valid lane chunk; padded
+    block columns are confined to their own 8-lane group (selection matmuls
+    are block-diagonal), and the kernels zero their QIM amplitude, so the
+    output slice back to w8 is exact."""
+    for wp in range(w8, MAX_CHUNK * MAX_CHUNKS + 1, 8):
+        if pick_chunk8(wp) is not None:
+            return wp
     return None
 
 
@@ -129,7 +142,8 @@ def _lum_mask(dc, mean):
 
 
 def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, o_ref):
-    alpha, chunk = static
+    alpha, nbh, nbw_real, chunk = static
+    j = pl.program_id(1)
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
     w = x.shape[-1]
     n_chunks = w // chunk
@@ -141,6 +155,10 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
 
     du_rows = []
     wm = wm_ref[0]  # [4, nbw]
+    # zero the QIM amplitude outside the true block grid: all-zero padded
+    # block columns make the perceptual masks 0/0 = NaN, which would poison
+    # every lane through the scatter matmuls below
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (1, nbw), 1)
     for br in range(4):
         yd = _block_dct(yp, s_ref, k_ref, br, n_chunks, chunk)
         ud = _block_dct(up, s_ref, k_ref, br, n_chunks, chunk)
@@ -151,7 +169,7 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
         v = ud[17:18, :]  # coefficient [2][1]
         base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
         v_new = jnp.where(wm[br : br + 1, :] == 0.0, base, base + jnp.sign(v) * step)
-        amp = v_new - v  # [1, nbw]
+        amp = jnp.where((bcol < nbw_real) & (j * 4 + br < nbh), v_new - v, 0.0)
         # spatial delta rows: du8[r] = sum_c P[r, c] * (amp @ S_c^T)
         amp_sc = []
         for c in range(8):
@@ -227,24 +245,29 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
                        interpret: bool = False):
     """u8 planes [B, 3, H, W] + wm grid [nbh, nbw] -> marked planes (DctQim)."""
     b, _, h, w = planes.shape
-    nbh, nbw = h // 8, w // 8
-    h8, w8 = nbh * 8, nbw * 8
+    nbh, nbw_real = h // 8, w // 8
+    h8, w8 = nbh * 8, nbw_real * 8
     if w8 != w or h8 != h:
         raise ValueError("fused_dct_qim_mark requires H, W % 8 == 0")
-    chunk = pick_chunk8(w8)
-    if chunk is None:
+    wp = padded_width8(w8)
+    if wp is None:
         raise ValueError(f"no valid lane chunk for W={w}")
+    chunk = pick_chunk8(wp)
+    nbw = wp // 8
     strips = pl.cdiv(h, STRIP)
-    wm3d = jnp.pad(wm2d.astype(jnp.float32), ((0, strips * 4 - nbh), (0, 0)))
-    wm3d = wm3d.reshape(strips, 4, nbw)
     means = _y_dc_mean(planes, h8, w8)[:, None]  # [B,1] (pixel mean == mean of DC/8)
+    if wp != w:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    wm3d = jnp.pad(wm2d.astype(jnp.float32),
+                   ((0, strips * 4 - nbh), (0, nbw - nbw_real)))
+    wm3d = wm3d.reshape(strips, 4, nbw)
     s, st, k, basis = _consts8(chunk)
-    return pl.pallas_call(
-        partial(_embed_kernel, (float(alpha), chunk)),
+    out = pl.pallas_call(
+        partial(_embed_kernel, (float(alpha), nbh, nbw_real, chunk)),
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
         grid=(b, strips),
         in_specs=[
-            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -255,11 +278,12 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
             pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, wm3d, means, jnp.asarray(s), jnp.asarray(st), jnp.asarray(k),
       jnp.asarray(basis))
+    return out if wp == w else out[:, :, :, :w]
 
 
 @partial(jax.jit, static_argnames=("alpha", "interpret"))
@@ -267,22 +291,26 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
                           interpret: bool = False):
     """u8 planes [B, 3, H, W] -> decoded bits [B, nbh, nbw] (DctQim)."""
     b, _, h, w = planes.shape
-    nbh, nbw = h // 8, w // 8
-    h8, w8 = nbh * 8, nbw * 8
+    nbh, nbw_real = h // 8, w // 8
+    h8, w8 = nbh * 8, nbw_real * 8
     if w8 != w or h8 != h:
         raise ValueError("fused_dct_qim_extract requires H, W % 8 == 0")
-    chunk = pick_chunk8(w8)
-    if chunk is None:
+    wp = padded_width8(w8)
+    if wp is None:
         raise ValueError(f"no valid lane chunk for W={w}")
+    chunk = pick_chunk8(wp)
+    nbw = wp // 8
     strips = pl.cdiv(h, STRIP)
     means = _y_dc_mean(planes, h8, w8)[:, None]
+    if wp != w:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     s, st, k, basis = _consts8(chunk)
     out = pl.pallas_call(
         partial(_decode_kernel, (float(alpha), chunk)),
         out_shape=jax.ShapeDtypeStruct((b, strips, 4, nbw), jnp.float32),
         grid=(b, strips),
         in_specs=[
-            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, chunk, chunk // 8), lambda i, j: (0, 0, 0),
@@ -293,4 +321,4 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, means, jnp.asarray(s), jnp.asarray(k))
-    return out.reshape(b, strips * 4, nbw)[:, :nbh, :]
+    return out.reshape(b, strips * 4, nbw)[:, :nbh, :nbw_real]

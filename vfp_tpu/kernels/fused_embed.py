@@ -35,14 +35,33 @@ from .qim import _triplet_rows
 
 STRIP = 32  # rows per grid cell (u8 sublane tile)
 MAX_CHUNK = 512  # lane-chunk cap (HIGHEST-precision matmuls need VMEM headroom)
+MAX_CHUNKS = 16  # in-kernel segment cap: Mosaic's scoped VMEM grows with the
+# number of per-chunk selection matmuls (W=856 -> 107 segments compiled to a
+# 26 MB scope vs the 16 MB limit); 16 covers 8K-wide frames at chunk 512
 
 
 def pick_chunk(w4: int) -> int | None:
-    """Largest lane chunk <= MAX_CHUNK with chunk % 8 == 0, w4 % chunk == 0."""
+    """Largest lane chunk <= MAX_CHUNK with chunk % 8 == 0, w4 % chunk == 0,
+    and at most MAX_CHUNKS segments per strip."""
     nbw = w4 // 8
-    for g in range(1, nbw + 1):
+    for g in range(1, MAX_CHUNKS + 1):
         if nbw % g == 0 and (w4 // g) <= MAX_CHUNK:
             return w4 // g
+    return None
+
+
+def padded_width(w: int) -> int | None:
+    """Smallest W' >= w (multiple of 8) with a valid lane chunk.
+
+    Widths whose block count has no small-ish divisor (e.g. 856: 107 blocks,
+    prime) are padded with zero columns; deltas from padded block columns
+    stay inside their own 8-lane group (the selection matmuls are block-
+    diagonal per 8 lanes), so slicing the output back to w is exact.
+    """
+    w8 = (w + 7) // 8 * 8
+    for wp in range(w8, MAX_CHUNK * MAX_CHUNKS + 1, 8):
+        if pick_chunk(wp) is not None:
+            return wp
     return None
 
 
@@ -64,7 +83,7 @@ def _consts(chunk: int):
 
 
 def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref, o_ref):
-    chan, scale, h4, chunk = static
+    chan, scale, nbh, nbw_real, chunk = static
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
     w = x.shape[-1]
@@ -89,6 +108,10 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
     # per block-row (4 LL rows each): all concatenations stay on the sublane
     # axis — lane concats of non-128-aligned widths hit Mosaic relayout bugs
     wm = wm_ref[0]  # [4, nbw]
+    # zero the QIM delta outside the true block grid: padded block columns
+    # (lane padding) and partial/padded block rows must pass through as pure
+    # color roundtrip, exactly like the XLA path / the reference
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (1, nbw), 1)
     parts = []
     for br in range(4):
         m_br = jnp.concatenate(
@@ -99,7 +122,7 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
                     precision=jax.lax.Precision.HIGHEST)  # DCT
         s0, u, v, rows = _triplet_rows(d)
         s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm[br : br + 1, :]) * scale
-        ds = s_new - s0
+        ds = jnp.where((bcol < nbw_real) & (j * 4 + br < nbh), s_new - s0, 0.0)
         ddct = jnp.concatenate(
             [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0
         )
@@ -121,10 +144,6 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
         parts.append(jnp.concatenate(rows16, axis=0))  # [4, W]
     dllrows = jnp.concatenate(parts, axis=0)  # [16, W]
     du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
-
-    # no delta beyond the 4-aligned crop (those rows still get the roundtrip)
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (STRIP, w), 0) + j * STRIP
-    du = jnp.where(row_ids < h4, du, 0.0)
 
     yuv = [
         M_FWD[k, 0] * x[0] + M_FWD[k, 1] * x[1] + M_FWD[k, 2] * x[2] + OFF_FWD[k]
@@ -148,31 +167,37 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
     """u8 planes [B, 3, H, W] + watermark grid [nbh, nbw] -> marked planes.
 
     wm2d is the first nbh*nbw entries of the flat watermark plane reshaped
-    row-major (block scan order parity).  Requires W % 4 == 0 and a valid
-    lane chunk (standard resolutions qualify); callers fall back to the
-    multi-op path otherwise.  Note: embeds may pick a different (parity-
-    equivalent) QIM bin than the multi-op path on borderline s0 — decoded
-    bits are identical.
+    row-major (block scan order parity).  Requires W % 4 == 0 (callers fall
+    back to the multi-op path otherwise); widths whose block count lacks a
+    small divisor are zero-padded to the next chunkable width and sliced
+    back (exact — see padded_width).  Note: embeds may pick a different
+    (parity-equivalent) QIM bin than the multi-op path on borderline s0 —
+    decoded bits are identical.
     """
     b, _, h, w = planes.shape
     h4, w4 = h // 4 * 4, w // 4 * 4
     if w4 != w:
         raise ValueError("fused_mark_planar requires W % 4 == 0")
-    chunk = pick_chunk(w4)
-    if chunk is None:
+    wp = padded_width(w4)
+    if wp is None:
         raise ValueError(f"no valid lane chunk for W={w}")
-    nbh, nbw = (h4 // 2) // 4, w4 // 8
+    chunk = pick_chunk(wp)
+    nbh, nbw_real = (h4 // 2) // 4, w4 // 8
+    nbw = wp // 8
+    if wp != w:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     strips = pl.cdiv(h, STRIP)
-    wm3d = jnp.pad(wm2d.astype(jnp.float32), ((0, strips * 4 - nbh), (0, 0)))
+    wm3d = jnp.pad(wm2d.astype(jnp.float32),
+                   ((0, strips * 4 - nbh), (0, nbw - nbw_real)))
     wm3d = wm3d.reshape(strips, 4, nbw)
     s, st, r1, r1t, k, kt = _consts(chunk)
     grid = (b, strips)
-    return pl.pallas_call(
-        partial(_kernel, (chan, float(scale), h4, chunk)),
+    out = pl.pallas_call(
+        partial(_kernel, (chan, float(scale), nbh, nbw_real, chunk)),
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
@@ -184,11 +209,12 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
             pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, wm3d, jnp.asarray(s), jnp.asarray(st), jnp.asarray(r1),
       jnp.asarray(r1t), jnp.asarray(k), jnp.asarray(kt))
+    return out if wp == w else out[:, :, :, :w]
 
 
 def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
@@ -229,10 +255,14 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
     h4, w4 = h // 4 * 4, w // 4 * 4
     if w4 != w:
         raise ValueError("fused_extract_planar requires W % 4 == 0")
-    chunk = pick_chunk(w4)
-    if chunk is None:
+    wp = padded_width(w4)
+    if wp is None:
         raise ValueError(f"no valid lane chunk for W={w}")
-    nbh, nbw = (h4 // 2) // 4, w4 // 8
+    chunk = pick_chunk(wp)
+    nbh, nbw_real = (h4 // 2) // 4, w4 // 8
+    nbw = wp // 8
+    if wp != w:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     strips = pl.cdiv(h, STRIP)
     s, st, r1, r1t, k, kt = _consts(chunk)
     out = pl.pallas_call(
@@ -240,7 +270,7 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
         out_shape=jax.ShapeDtypeStruct((b, strips, 4, nbw), jnp.float32),
         grid=(b, strips),
         in_specs=[
-            pl.BlockSpec((1, 3, STRIP, w), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -251,7 +281,7 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, jnp.asarray(s), jnp.asarray(r1), jnp.asarray(k))
-    return out.reshape(b, strips * 4, nbw)[:, :nbh, :]
+    return out.reshape(b, strips * 4, nbw)[:, :nbh, :nbw_real]
 
 
 # NOTE: an interleaved-input variant (reading [B, H, W, 3] u8 directly as

@@ -103,7 +103,7 @@ class DctQim:
     def _use_fused(self, frame_shape) -> bool:
         import jax
 
-        from ..kernels.fused_dct_qim import pick_chunk8
+        from ..kernels.fused_dct_qim import padded_width8
 
         if self.backend == "xla":
             return False
@@ -113,7 +113,7 @@ class DctQim:
         return (
             (self.coeff_row, self.coeff_col) == (2, 1)
             and h % 8 == 0 and w % 8 == 0
-            and pick_chunk8(w) is not None
+            and padded_width8(w) is not None
         )
 
     def _masks(self, y: jnp.ndarray) -> jnp.ndarray:

@@ -75,11 +75,16 @@ class DwtDctSvd:
         return self.backend == "pallas"
 
     def _fused_ok(self, frame_shape) -> bool:
-        """Whether the single-launch mega-kernel supports this shape."""
-        from ..kernels.fused_embed import pick_chunk
+        """Whether the single-launch mega-kernel supports this shape.
+
+        Any W % 4 == 0 up to 8K qualifies: widths without a chunkable block
+        count are zero-padded inside the kernel wrapper (exact; see
+        kernels/fused_embed.padded_width).
+        """
+        from ..kernels.fused_embed import padded_width
 
         h, w = frame_shape[1], frame_shape[2]
-        return self.blk == 4 and w % 4 == 0 and pick_chunk(w) is not None
+        return self.blk == 4 and w % 4 == 0 and padded_width(w) is not None
 
     # -- reference-compatible capacity -------------------------------------
     def wm_capacity(self, frame_shape):
