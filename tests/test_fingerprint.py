@@ -49,6 +49,11 @@ class TestViewPattern:
         assert pattern_for_view(1, 3, 4) == [0, 0, 0, 1]
         assert pattern_for_view(5, 3, 4) == [0, 0, 1, 2]  # 5 = 12 base 3
         assert pattern_for_view(7, 2, 4) == [0, 1, 1, 1]
+        # overflow keeps the MOST-significant digits (the reference pads the
+        # digit list and serves only segment files that exist, so the
+        # effective pattern is the leading digits; api/main.py:220-250)
+        assert pattern_for_view(16, 2, 4) == [1, 0, 0, 0]
+        assert pattern_for_view(17, 2, 4) == [1, 0, 0, 0]
 
 
 @pytest.fixture(scope="module")

@@ -135,6 +135,24 @@ class TestPipeline:
         assert stats.frames == 5
         assert writer.frames.shape[0] == 5
 
+    def test_writer_error_raises_instead_of_hanging(self, rng):
+        """A failing writer (disk full, encode error) must surface its
+        exception; with the bounded out_q it used to deadlock the main loop
+        once the queue filled after the consumer thread died."""
+        import pytest
+
+        class FailingWriter(ArrayWriter):
+            def write_batch(self, batch):
+                raise OSError("disk full")
+
+        frames = natural_frames(rng, b=24, h=32, w=32)
+        codec = DwtDctSvd()
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, codec.wm_capacity(frames.shape[1:]))
+        emb = Embedder(ArrayReader(frames), FrameMarker(codec, wm, batch_size=4),
+                       FailingWriter(), prefetch=1)
+        with pytest.raises(OSError, match="disk full"):
+            emb.start()
+
 
 class TestY4M:
     def test_roundtrip(self, tmp_path, rng):

@@ -29,7 +29,8 @@ def _payload_bits(s: str) -> np.ndarray:
     return np.array([int(c) for c in s])
 
 
-def _make_generator(codec_name: str, key: int, generator: str = "auto"):
+def _make_generator(codec_name: str, key: int, generator: str = "auto",
+                    threshold: str = "fixed"):
     """Generator/degenerator pair valid for a codec (reference pairings:
     tests/test.py:59 — Shuffler/GrayScale with DwtDctSvd/Dct, CorrShuffler
     with DtcwtKey, BlockShuffler with DtcwtImg)."""
@@ -51,7 +52,7 @@ def _make_generator(codec_name: str, key: int, generator: str = "auto"):
         return BlockShuffler(key=key), DeBlockShuffler(key=key)
     if generator == "grayscale":
         return GrayScale(key=key), DeGrayScale(key=key)
-    return Shuffler(key=key), DeShuffler(key=key, threshold="fixed")
+    return Shuffler(key=key), DeShuffler(key=key, threshold=threshold)
 
 
 def cmd_mark(args):
@@ -96,7 +97,8 @@ def cmd_detect(args):
     from ..wm import DeCorrShuffler
 
     codec = VfpConfig().make_codec(args.codec)
-    _, deg = _make_generator(args.codec, args.key)
+    _, deg = _make_generator(args.codec, args.key,
+                             threshold=getattr(args, "threshold", "fixed"))
     from ..wm import DeBlockShuffler
 
     if isinstance(deg, DeBlockShuffler):

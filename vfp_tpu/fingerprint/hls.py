@@ -21,7 +21,13 @@ from ..io.ffmpeg import have_ffmpeg
 
 def pattern_for_view(view_number: int, num_copies: int, num_segments: int) -> list:
     """Digits of view_number in base num_copies, one digit per segment
-    (reference: api/main.py:221-232)."""
+    (reference: api/main.py:221-232).
+
+    When view_number overflows num_copies**num_segments the FIRST
+    (most-significant) digits are kept — the reference pads its digit list to
+    the larger of (num_segments, len(digits)) and serves playlist entries only
+    for segment files that exist, so the effective pattern is the leading
+    digits (reference: api/main.py:220-250)."""
     digits = []
     v = view_number
     while v > 0:
@@ -30,7 +36,7 @@ def pattern_for_view(view_number: int, num_copies: int, num_segments: int) -> li
     while len(digits) < num_segments:
         digits.append(0)
     digits.reverse()
-    return digits[-num_segments:] if len(digits) > num_segments else digits
+    return digits[:num_segments]
 
 
 def _media_playlist(entries, segment_duration: float = 2.0, init_uri: str | None = None) -> str:

@@ -122,6 +122,11 @@ class Embedder:
                     self.writer.write_batch(batch)
             except Exception as e:  # pragma: no cover
                 err.append(e)
+                # keep draining (discarding batches) until the sentinel so the
+                # main loop's bounded out_q.put() can never block forever and
+                # the recorded error is actually raised
+                while out_q.get() is not _SENTINEL:
+                    pass
 
         rt = threading.Thread(target=produce, daemon=True)
         wt = threading.Thread(target=consume, daemon=True)

@@ -95,12 +95,17 @@ class _DtcwtBase:
         yc = t.forward(y, nlevels=self.nlevels)
         return self._masks3_from_hp2(yc.highpasses[1], shape3)
 
-    def _masks3_from_hp2(self, hp2c: jnp.ndarray, shape3) -> jnp.ndarray:
+    def _masks3_from_hp2(self, hp2c: jnp.ndarray, shape3, zero_guard: bool = False) -> jnp.ndarray:
         hp2 = jnp.abs(hp2c)  # [B, h2, w2, 6]
         hp2 = jnp.moveaxis(hp2, -1, 1)  # [B, 6, h2, w2]
         m = filter2d_mean2x2(hp2)
         m = rebin_mean(m, shape3)
         m = jnp.ceil(m / self.step)
+        if zero_guard:
+            # decoder-side ==0 -> 0.01 replacement; must run BEFORE the
+            # max(12, amax) normalization so flat-luminance coefficients keep
+            # the reference's weighting (reference: dtcwt_img_decoder.py:25-26)
+            m = jnp.where(m == 0, 0.01, m)
         if self.normalize_masks:
             mx = jnp.max(m, axis=(-2, -1), keepdims=True)
             m = m / jnp.maximum(12.0, mx)
@@ -129,8 +134,8 @@ class _DtcwtBase:
         t = Transform2d()
         y_hp2, uc = self._joint_forward(y, u)
         h3 = uc.highpasses[self.nlevels - 1]
-        masks = self._masks3_from_hp2(y_hp2, (h3.shape[-3], h3.shape[-2]))
-        masks = jnp.where(masks == 0, 0.01, masks)
+        masks = self._masks3_from_hp2(y_hp2, (h3.shape[-3], h3.shape[-2]),
+                                      zero_guard=True)
         coeff = h3 / masks.astype(h3.dtype) / self.alpha
         hh, ww = (h3.shape[-3] + 1) // 2, (h3.shape[-2] + 1) // 2
         folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)  # [B, 6, hh, ww]
