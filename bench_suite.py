@@ -12,9 +12,11 @@ Writes bench_suite_report.json and prints a table.  Usage:
 (bench.py remains the driver's one-line benchmark.)
 
 NOTE: under this container's axon relay, host<->device transfers run at
-~1 MB/s, so the *_incl_io numbers are tunnel-bound on TPU — they measure the
-relay, not the design (the C++ I/O engine + batched pipeline overlap is
-sized for a real host).  embed_fps_chip is the pure-chip number.
+~25-45 MB/s, so full-frame *_incl_io numbers are link-bound on TPU.  The
+flagship codec's workflows route through the LL-domain low-link transport
+(vfp_tpu/pipeline/lowlink.py: f16 LL up, int8 delta down — ~6x/12x fewer
+bytes), which moves the bottleneck back to the single host core (cv2 decode
++ JPEG encode).  embed_fps_chip is the pure-chip number.
 """
 
 import argparse
@@ -62,6 +64,7 @@ def bench_roundtrip_480p(quick):
     out.unlink(missing_ok=True)
     return {
         "frames": n,
+        "batch": 8,
         "embed_fps_incl_io": round(n / embed_s, 2),
         "detect_fps_incl_io": round(n / detect_s, 2),
         "payload_recovered": bool((pattern == payload).all()),
@@ -170,6 +173,7 @@ def bench_hls_workflow(quick):
     return {
         "segments": len(segs),
         "variants": len(marked),
+        "batch": 8,
         "marked_frames_per_sec_incl_io": round(n * 3 / wall, 2),
         "verified": f"{ok}/{len(marked)}",
     }

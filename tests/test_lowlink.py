@@ -1,0 +1,129 @@
+"""LL-domain low-link transport parity (pipeline/lowlink.py).
+
+The transport moves float16 LL bands up and int8 fixed-point LL deltas down
+instead of full frames; these tests pin (1) host LL == device LL math,
+(2) reconstructed marked frames match the full-frame path up to rounding-
+boundary pixels with identical payload recovery, and (3) the extractor side
+returns the same payloads as the full-frame FrameExtractor.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vfp_tpu.pipeline import (
+    FrameExtractor,
+    FrameMarker,
+    LowLinkExtractor,
+    LowLinkMarker,
+    host_ll,
+    reconstruct,
+)
+from vfp_tpu.pipeline.lowlink import lowlink_ok
+from vfp_tpu.wm import DeShuffler, DwtDctSvd, Shuffler
+from vfp_tpu.fingerprint import payload_for_segment
+
+PAYLOAD = np.array([0, 1, 1, 0, 0, 1, 0, 1])
+
+
+def natural_frames(rng, b, h, w):
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    small = rng.rand(b, h8 // 8, w8 // 8, 3)
+    f = np.repeat(np.repeat(small, 8, axis=1), 8, axis=2)[:, :h, :w] * 220
+    f = f + rng.rand(b, h, w, 3) * 20
+    return np.clip(f, 0, 255).astype(np.uint8)
+
+
+class TestHostLL:
+    def test_matches_device_ll(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 2, 78, 102)  # odd-ish dims: crop path
+        want = np.asarray(codec._ll_from_frames(
+            jnp.asarray(np.moveaxis(np.moveaxis(frames, -1, 1), 1, -1)).astype(jnp.float32), 1))
+        got = host_ll(frames, 1).astype(np.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=0.13)  # f16 quantization
+
+
+class TestLowLinkMarker:
+    def test_eligibility(self):
+        assert lowlink_ok(DwtDctSvd())
+        assert not lowlink_ok(DwtDctSvd(scales=(5.0, 15.0, 0.0)))
+
+    def test_matches_full_frame_path(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 4, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [Shuffler(key=0).generate_wm(payload_for_segment(1, c), cap) for c in range(2)]
+        mm = LowLinkMarker(codec, wms, batch_size=4)
+        got = mm.mark_all(frames)
+        assert got.shape == (2, 4, 64, 96, 3)
+        for v in range(2):
+            want = np.asarray(codec.mark_frames(
+                jnp.asarray(frames), jnp.asarray(np.asarray(wms[v]).reshape(-1), jnp.float32)))
+            diff = np.abs(got[v].astype(int) - want.astype(int))
+            # +-1 on rounding-boundary pixels (int8/8 delta quantization) and
+            # rare parity-equivalent QIM-bin swaps on borderline s0 (f16 LL),
+            # exactly like the fused kernel's documented tolerance
+            assert (diff <= 1).mean() > 0.999
+            assert (diff == 0).mean() > 0.95
+            assert diff.max() <= 16
+        # payload recovery identical to the full path
+        deg = DeShuffler(key=0, threshold="fixed").set_shape((8,))
+        for v in range(2):
+            bits = np.asarray(codec.extract_frames(jnp.asarray(got[v])))
+            for b in bits:
+                np.testing.assert_array_equal(
+                    deg.degenerate(b), payload_for_segment(1, v))
+
+    def test_partial_batch_and_odd_dims(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 3, 78, 102)  # 3 < batch, h/w not %8
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        mm = LowLinkMarker(codec, [wm], batch_size=8)
+        got = mm.mark_all(frames)
+        assert got.shape == (1, 3, 78, 102, 3)
+        # untouched outside the 4-aligned crop and in the R channel
+        np.testing.assert_array_equal(got[0][:, 76:], frames[:, 76:])
+        np.testing.assert_array_equal(got[0][..., 2], frames[..., 2])
+
+    def test_frame_marker_routes_lowlink(self, rng, monkeypatch):
+        monkeypatch.setenv("VFP_LOWLINK", "1")
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 2, 64, 96)
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, codec.wm_capacity(frames.shape[1:]))
+        fm = FrameMarker(codec, wm, batch_size=2)
+        assert fm._ll is not None
+        marked = fm.mark(frames)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
+        bits = np.asarray(codec.extract_frames(jnp.asarray(marked)))
+        for b in bits:
+            np.testing.assert_array_equal(deg.degenerate(b), PAYLOAD)
+
+    def test_submit_collect_pipelined(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 8, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        mm = LowLinkMarker(codec, [wm], batch_size=4)
+        handles = [mm.submit(frames[:4]), mm.submit(frames[4:])]
+        outs = [mm.collect(h) for h in handles]
+        direct = mm.mark_all(frames[:4])
+        np.testing.assert_array_equal(outs[0], direct)
+
+
+class TestLowLinkExtractor:
+    def test_matches_full_frame_extractor(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 5, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        marked = np.asarray(codec.mark_frames(
+            jnp.asarray(frames), jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)))
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
+        want = FrameExtractor(codec, deg, batch_size=4).extract(marked)
+        got = LowLinkExtractor(codec, deg, batch_size=4).extract(marked)
+        np.testing.assert_array_equal(got, want)
+        for p in got:
+            np.testing.assert_array_equal(p, PAYLOAD)

@@ -150,9 +150,11 @@ def verify_segment(marked_file, expected_payload, codec=None, key: int = 0, batc
     codec = codec or DwtDctSvd()
     expected = np.asarray(expected_payload)
     # fixed threshold: QIM bit planes are 0/1, and the all-zero payload of
-    # segment 0 copy 0 is unrecoverable under the reference's midpoint rule
-    deg = DeShuffler(key=key, threshold="fixed").set_shape(expected.shape)
-    fx = FrameExtractor(codec, deg, batch_size=batch_size)
+    # segment 0 copy 0 is unrecoverable under the reference's midpoint rule;
+    # the extractor is memoized — per-segment loops must not re-trace
+    from ..pipeline import cached_bit_extractor
+
+    fx = cached_bit_extractor(codec, key, int(expected.size), batch_size)
     frames, _ = _read_all(marked_file)
     payloads = np.concatenate(
         [fx.extract(frames[s : s + batch_size]) for s in range(0, len(frames), batch_size)]

@@ -66,8 +66,9 @@ class TraceResult:
 
 def _segment_majority(seg_file, payload_len: int, codec, key: int, batch_size: int = 16):
     """Decode one segment once -> (majority pattern, frequency)."""
-    deg = DeShuffler(key=key, threshold="fixed").set_shape((payload_len,))
-    fx = FrameExtractor(codec, deg, batch_size=batch_size)
+    from ..pipeline import cached_bit_extractor
+
+    fx = cached_bit_extractor(codec, key, payload_len, batch_size)
     reader = open_reader(seg_file)
     outs = []
     try:

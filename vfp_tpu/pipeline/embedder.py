@@ -23,20 +23,45 @@ logger = logging.getLogger(__name__)
 _SENTINEL = None
 
 
+def use_lowlink(codec) -> bool:
+    """LL-domain link transport policy (pipeline/lowlink.py): on by default
+    when the link is the bottleneck (TPU behind the relay/PCIe); VFP_LOWLINK
+    =0/1 forces it off/on (the forced-on path is used by CPU parity tests)."""
+    import os
+
+    from .lowlink import lowlink_ok
+
+    flag = os.environ.get("VFP_LOWLINK", "auto")
+    if flag == "0":
+        return False
+    if not lowlink_ok(codec):
+        return False
+    return flag == "1" or jax.default_backend() == "tpu"
+
+
 class FrameMarker:
     """Binds a codec + spread watermark into a jitted uint8 batch transform.
 
     Pads partial batches to the compiled batch size so every video length
-    reuses one executable per (B, H, W) shape.
+    reuses one executable per (B, H, W) shape.  On TPU the flagship codec
+    routes through the LL-domain low-link transport (pipeline/lowlink.py):
+    ~6x less up-traffic and ~12x less down-traffic on the host<->chip link.
     """
 
     def __init__(self, codec, wm: np.ndarray, batch_size: int = 16):
         self.codec = codec
         self.wm = jax.numpy.asarray(np.asarray(wm).reshape(-1), jax.numpy.float32)
         self.batch_size = batch_size
+        self._ll = None
+        if use_lowlink(codec):
+            from .lowlink import LowLinkMarker
+
+            self._ll = LowLinkMarker(codec, [np.asarray(wm).reshape(-1)], batch_size)
         self._fn = jax.jit(lambda f, w: codec.mark_frames(f, w))
 
     def mark(self, frames: np.ndarray) -> np.ndarray:
+        if self._ll is not None:
+            return self._ll.mark_all(frames)[0]
         k = len(frames)
         if k < self.batch_size:
             pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)
@@ -48,7 +73,8 @@ class FrameMarker:
 class MultiMarker:
     """Marks every watermark variant in one vmapped call per frame batch —
     the HLS copies axis amortizes kernel launches (and maps onto the
-    'variant' mesh axis on multi-chip, parallel/sharded.py)."""
+    'variant' mesh axis on multi-chip, parallel/sharded.py).  On TPU the
+    flagship codec routes through the low-link LL-domain transport."""
 
     def __init__(self, codec, wms: np.ndarray, batch_size: int = 16):
         import jax.numpy as jnp
@@ -57,14 +83,37 @@ class MultiMarker:
         self.wms = jax.numpy.asarray(np.stack([np.asarray(w).reshape(-1) for w in wms]),
                                      jnp.float32)
         self.batch_size = batch_size
+        self._ll = None
+        if use_lowlink(codec):
+            from .lowlink import LowLinkMarker
+
+            self._ll = LowLinkMarker(codec, [np.asarray(w).reshape(-1) for w in wms],
+                                     batch_size)
         self._fn = jax.jit(jax.vmap(lambda f, w: codec.mark_frames(f, w), in_axes=(None, 0)))
 
     @property
     def n_variants(self) -> int:
         return len(self.wms)
 
+    def submit(self, frames: np.ndarray):
+        """Async dispatch (low-link only); pair with collect() to overlap
+        device work + link transfers with host-side encode/write."""
+        if self._ll is not None:
+            return self._ll.submit(frames)
+        return frames  # full-frame path computes in collect()
+
+    def collect(self, handle) -> np.ndarray:
+        if self._ll is not None:
+            return self._ll.collect(handle)
+        return self._mark_full(handle)
+
     def mark_all(self, frames: np.ndarray) -> np.ndarray:
         """[k, H, W, 3] -> [V, k, H, W, 3] uint8."""
+        if self._ll is not None:
+            return self._ll.mark_all(frames)
+        return self._mark_full(frames)
+
+    def _mark_full(self, frames: np.ndarray) -> np.ndarray:
         k = len(frames)
         if k < self.batch_size:
             pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)

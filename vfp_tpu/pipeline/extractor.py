@@ -15,6 +15,7 @@ import threading
 import time
 from collections import Counter
 from dataclasses import dataclass
+from functools import lru_cache
 
 import jax
 import numpy as np
@@ -25,12 +26,23 @@ _SENTINEL = None
 
 
 class FrameExtractor:
-    """Binds a codec + degenerator into a jitted uint8 batch -> payload map."""
+    """Binds a codec + degenerator into a jitted uint8 batch -> payload map.
+
+    On TPU the flagship codec routes through the LL-domain low-link transport
+    (pipeline/lowlink.py): decode needs only the LL band, so ~6x fewer bytes
+    go up and only payload-sized results come down."""
 
     def __init__(self, codec, degenerator, batch_size: int = 16):
         self.codec = codec
         self.degenerator = degenerator
         self.batch_size = batch_size
+        self._ll = None
+        from .embedder import use_lowlink
+
+        if use_lowlink(codec):
+            from .lowlink import LowLinkExtractor
+
+            self._ll = LowLinkExtractor(codec, degenerator, batch_size)
 
         def _extract(frames):
             bits = codec.extract_frames(frames)
@@ -39,11 +51,29 @@ class FrameExtractor:
         self._fn = jax.jit(_extract)
 
     def extract(self, frames: np.ndarray) -> np.ndarray:
+        if self._ll is not None:
+            return self._ll.extract(frames)
         k = len(frames)
         if k < self.batch_size:
             pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)
             frames = np.concatenate([frames, pad])
         return np.asarray(self._fn(frames))[:k]
+
+
+@lru_cache(maxsize=64)
+def cached_bit_extractor(codec, key, payload_len: int, batch_size: int = 16,
+                         threshold: str = "fixed") -> "FrameExtractor":
+    """Memoized FrameExtractor for bit payloads.
+
+    Workflow loops (per-segment verify/trace, the /detect endpoint) used to
+    build a fresh FrameExtractor — and therefore a fresh jit closure to
+    re-trace — for every segment; the underlying executable is a pure
+    function of (codec, key, payload_len, batch, threshold), so share it.
+    """
+    from ..wm import DeShuffler
+
+    deg = DeShuffler(key=key, threshold=threshold).set_shape((payload_len,))
+    return FrameExtractor(codec, deg, batch_size=batch_size)
 
 
 @dataclass

@@ -1,0 +1,200 @@
+"""Low-link transport for the flagship codec: move LL-band data, not frames.
+
+The relay/PCIe link between host and chip is the end-to-end bottleneck for
+video workflows (full 480p frames: ~0.9 MB up + 0.9 MB/variant down). The
+DWT+DCT+SVD codec only ever *reads* the LL band of one YUV channel and only
+*writes* a delta to that same band, so the link traffic can be LL-domain:
+
+  up:   LL of the active channel, float16   [k, H/4*2, W/4*2]   (x6 smaller)
+  down: QIM LL delta, int8 fixed-point /8   [V, k, hc, wc]      (x12 smaller)
+
+The host computes the LL cheaply (one cv2.transform row + a 2x2 pair-sum)
+and reconstructs marked frames as ``clip(rint(x + du * M_BWD[:, chan]))`` —
+for integer inputs the float color roundtrip of the reference
+(reference: src/offmark/video/embedder.py:34-38) is exactly the identity
+after rounding, so only the delta term matters.  Decode needs only the LL,
+so extraction sends the f16 LL up and pulls back per-frame payloads (bytes).
+
+Numerics: f16 LL quantization (<=0.125 ulp) and int8/8 delta quantization
+(0.0625) perturb s0 by well under 1% of the QIM bin (scale 15, margin 3.75);
+outputs may differ from the full-frame path by +-1 on rounding-boundary
+pixels.  Payload recovery is identical (tests/test_lowlink.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+DLL_Q = 8.0  # int8 fixed-point scale: |dll| < 15 => |q| <= 120 < 127
+
+
+def lowlink_ok(codec) -> bool:
+    """Whether the LL-domain transport applies to this codec: the flagship
+    DWT+DCT+SVD family with exactly one active channel."""
+    scales = getattr(codec, "scales", None)
+    if scales is None or not hasattr(codec, "_ll_delta"):
+        return False
+    return sum(1 for s in scales if s > 0) == 1
+
+
+def active_channel(codec) -> int:
+    return next(c for c, s in enumerate(codec.scales) if s > 0)
+
+
+def host_ll(frames: np.ndarray, chan: int) -> np.ndarray:
+    """[k, H, W, 3] uint8 BGR -> [k, h4/2, w4/2] float16 LL of YUV channel
+    ``chan`` (cv2 float constants + orthonormal Haar LL = 2x2 sum / 2)."""
+    import cv2
+
+    from ..ops.color import M_FWD, OFF_FWD
+
+    k, h, w, _ = frames.shape
+    h4, w4 = h // 4 * 4, w // 4 * 4
+    row = np.ascontiguousarray(M_FWD[chan : chan + 1])
+    c = cv2.transform(frames.reshape(k * h, w, 3).astype(np.float32), row)
+    c = c.reshape(k, h, w)[:, :h4, :w4] + np.float32(OFF_FWD[chan])
+    ll = (c[:, 0::2, 0::2] + c[:, 0::2, 1::2] + c[:, 1::2, 0::2] + c[:, 1::2, 1::2])
+    ll *= np.float32(0.5)
+    return ll.astype(np.float16)
+
+
+def reconstruct(frames: np.ndarray, dll_q: np.ndarray, chan: int) -> np.ndarray:
+    """[k, H, W, 3] uint8 + int8 LL delta -> marked uint8 frames.
+
+    marked = clip(rint(x + upsample2x2(dll) * 0.5 * M_BWD[:, chan])); channels
+    with a zero column coefficient (R for chan=1) pass through untouched.
+    """
+    from ..ops.color import M_BWD
+
+    k, h, w, _ = frames.shape
+    hc, wc = dll_q.shape[-2:]
+    h2, w2 = hc * 2, wc * 2
+    du = dll_q.astype(np.float32)
+    out = frames.copy()
+    for ch in range(3):
+        coef = float(M_BWD[ch, chan])
+        if coef == 0.0:
+            continue
+        x = frames[:, :h2, :w2, ch].astype(np.float32).reshape(k, hc, 2, wc, 2)
+        x += du[:, :, None, :, None] * np.float32(coef * 0.5 / DLL_Q)
+        np.clip(np.rint(x, out=x), 0.0, 255.0, out=x)
+        out[:, :h2, :w2, ch] = x.astype(np.uint8).reshape(k, h2, w2)
+    return out
+
+
+@lru_cache(maxsize=None)
+def _mark_fn(codec, n_variants: int):
+    """jitted: (ll f16 [k, hc, wc], wms f32 [V, cap]) -> dll int8 [V, k, hc, wc]."""
+    import jax
+    import jax.numpy as jnp
+
+    chan = active_channel(codec)
+    scale = float(codec.scales[chan])
+
+    @jax.jit
+    def fn(ll16, wms):
+        ll = ll16.astype(jnp.float32)
+        dll = jnp.stack(
+            [codec._ll_delta(ll, wms[v], scale) for v in range(n_variants)]
+        )
+        return jnp.clip(jnp.round(dll * DLL_Q), -127.0, 127.0).astype(jnp.int8)
+
+    return fn
+
+
+class LowLinkMarker:
+    """MultiMarker-compatible variant marker over the LL-domain transport.
+
+    ``submit``/``collect`` split dispatch from the (link-bound) fetch so a
+    pipelined caller can overlap device work + transfers with host encode.
+    """
+
+    def __init__(self, codec, wms, batch_size: int = 16):
+        assert lowlink_ok(codec), "LowLinkMarker requires a single-channel DwtDctSvd codec"
+        self.codec = codec
+        self.chan = active_channel(codec)
+        self.batch_size = batch_size
+        self._wms_np = np.stack([np.asarray(w).reshape(-1) for w in wms]).astype(np.float32)
+        self._wms = None  # device copy, lazily placed
+        self._fn = _mark_fn(codec, len(self._wms_np))
+
+    @property
+    def n_variants(self) -> int:
+        return len(self._wms_np)
+
+    def submit(self, frames: np.ndarray):
+        """Dispatch one batch; returns an opaque handle for collect()."""
+        import jax.numpy as jnp
+
+        if self._wms is None:
+            self._wms = jnp.asarray(self._wms_np)
+        k = len(frames)
+        ll = host_ll(frames, self.chan)
+        if k < self.batch_size:  # pad in the (16x smaller) LL domain
+            ll = np.concatenate([ll, np.repeat(ll[-1:], self.batch_size - k, axis=0)])
+        return (self._fn(jnp.asarray(ll), self._wms), frames, k)
+
+    def collect(self, handle) -> np.ndarray:
+        """Handle -> [V, k, H, W, 3] uint8 marked frames."""
+        dll_dev, frames, k = handle
+        dll = np.asarray(dll_dev)[:, :k]  # [V, k, hc, wc] int8
+        return np.stack([reconstruct(frames, dll[v], self.chan) for v in range(len(dll))])
+
+    def mark_all(self, frames: np.ndarray) -> np.ndarray:
+        return self.collect(self.submit(frames))
+
+
+class LowLinkExtractor:
+    """FrameExtractor-compatible payload extractor over the LL transport."""
+
+    def __init__(self, codec, degenerator, batch_size: int = 16):
+        assert lowlink_ok(codec)
+        self.codec = codec
+        self.degenerator = degenerator
+        self.batch_size = batch_size
+        self.chan = active_channel(codec)
+        self._fn = self._build()
+
+    def _build(self):
+        from functools import partial
+
+        import jax
+        import jax.numpy as jnp
+
+        codec, deg, chan = self.codec, self.degenerator, self.chan
+        scale = float(codec.scales[chan])
+
+        @partial(jax.jit, static_argnums=1)
+        def fn(ll16, capacity_pad):
+            ll = ll16.astype(jnp.float32)
+            hc, wc = ll.shape[1:]
+            nbh, nbw = hc // codec.blk, wc // codec.blk
+            from ..ops.soa import dct_soa, image_to_soa, top_triplet_soa
+
+            m = image_to_soa(ll[:, : nbh * codec.blk, : nbw * codec.blk], codec.blk)
+            if codec._use_pallas():
+                from ..kernels import qim_decode_soa
+
+                bits = qim_decode_soa(m, scale)
+            else:
+                s0, _, _ = top_triplet_soa(dct_soa(m))
+                bits = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
+            bits = jnp.pad(bits, ((0, 0), (0, capacity_pad)))
+            return deg.degenerate_batch(bits)
+
+        return fn
+
+    def extract(self, frames: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        k, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        ll = host_ll(frames, self.chan)
+        if k < self.batch_size:  # pad in the (16x smaller) LL domain
+            ll = np.concatenate([ll, np.repeat(ll[-1:], self.batch_size - k, axis=0)])
+        from ..wm.dwt_dct_svd import block_grid
+
+        (nbh, nbw), capacity = block_grid((h, w), self.codec.blk)
+        out = self._fn(jnp.asarray(ll), capacity - nbh * nbw)
+        return np.asarray(out)[:k]

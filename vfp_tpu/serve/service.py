@@ -269,8 +269,9 @@ class VfpService:
         if not history:
             return {"error": "No view history found"}
         frames, _ = _read_all(leaked_path)
-        deg = DeShuffler(key=self.key, threshold="fixed").set_shape((8,))
-        fx = FrameExtractor(self.codec, deg, batch_size=16)
+        from ..pipeline import cached_bit_extractor
+
+        fx = cached_bit_extractor(self.codec, self.key, 8, 16)
         payloads = np.concatenate(
             [fx.extract(frames[s : s + 16]) for s in range(0, len(frames), 16)]
         )
