@@ -69,6 +69,47 @@ class TestPages:
             _req(base, "/view/nonexistent")
         assert e.value.code == 404
 
+    def test_player_url_rewriting_transport(self, server):
+        """The viewer page must carry the reference player's URL-rewriting
+        transport (reference: api/templates/index.html:152-166): .m4s
+        requests reroute to /hls/<name>, master.m3u8 refetches reroute to
+        /view/<id>, with bounded-retry config, media-error recovery, the
+        native-HLS fallback, and the per-view download button."""
+        base, _ = server
+        _, body, _ = _req(base, "/view")
+        page = body.decode()
+        for marker in (
+            "xhrSetup",
+            "url.endsWith('.m4s')",
+            "'/hls/' + url.split('/').pop()",
+            "url.includes('master.m3u8')",
+            "'/view/' + currentViewId",
+            "maxLoadingRetry: 3",
+            "recoverMediaError",
+            "startLoad",
+            "canPlayType('application/vnd.apple.mpegurl')",
+            "MANIFEST_PARSED",
+            "/download-view/",
+            "displayWatermarkPatterns",
+            "hls.js",
+        ):
+            assert marker in page, f"player page missing {marker!r}"
+
+    def test_detect_page_renders_match_fields(self, server):
+        """Detect page renders the reference's per-match fields
+        (reference: api/templates/detect.html:119-137)."""
+        base, _ = server
+        _, body, _ = _req(base, "/detect")
+        page = body.decode()
+        for marker in ("Username", "Timestamp", "Pattern", "Segment Number",
+                       "Confidence", "m.frequency * 100", "/detect"):
+            assert marker in page, f"detect page missing {marker!r}"
+
+    def test_upload_page_has_copies_field(self, server):
+        base, _ = server
+        _, body, _ = _req(base, "/upload")
+        assert b'name="copies"' in body and b'type="file"' in body
+
 
 class TestWorkflow:
     def test_upload_processed(self, uploaded):
