@@ -288,12 +288,18 @@ def cmd_trace(args):
 
 
 def cmd_durability(args):
-    from ..workflows.durability import run_durability
+    from ..workflows.durability import run_durability, run_durability_corr
 
-    report = run_durability(
-        args.input, args.output_dir, segment_duration=args.segment_duration,
-        quality=args.quality, key=args.key,
-    )
+    if getattr(args, "codec", "dwtDctSvd") == "dtcwtKey":
+        report = run_durability_corr(
+            args.input, args.output_dir, segment_duration=args.segment_duration,
+            quality=args.quality,
+        )
+    else:
+        report = run_durability(
+            args.input, args.output_dir, segment_duration=args.segment_duration,
+            quality=args.quality, key=args.key,
+        )
     print(json.dumps(report, indent=2))
     sys.exit(0 if report["is_successful"] else 1)
 
@@ -385,6 +391,8 @@ def main(argv=None):
     u.add_argument("--segment-duration", type=float, default=2.0)
     u.add_argument("--quality", type=int, default=90)
     u.add_argument("--key", type=int, default=0)
+    u.add_argument("--codec", choices=["dwtDctSvd", "dtcwtKey"], default="dwtDctSvd",
+                   help="dtcwtKey runs the correlation-identification variant")
     u.set_defaults(fn=cmd_durability)
 
     s = sub.add_parser("serve", help="run the fingerprinting HTTP service")

@@ -4,11 +4,14 @@ The XLA formulation runs ~24 sequential conv ops for level 1 (4 tree
 combinations x (2 row + 4 col) filter passes); this kernel does the whole
 level per (batch, 32-row strip) grid cell:
 
-  circular-halo DMA (8 rows top/bottom) -> row conv + row decimation folded
-  into tiny [16, 48] selection matmuls (both LeGall filters x both sampling
-  phases) -> column convs as lane ROLLS (circular for free) -> column
-  decimation via 2-periodic selection matmuls -> 16 output planes
-  (ll/lh/hl/hh x 4 tree combos).
+  circular-halo DMA (8 rows top/bottom) -> row conv + row decimation, all
+  four (filter x phase) passes stacked into one [64, 48] selection matmul
+  -> column convs as lane ROLLS (circular for free) -> the 8 unique conv
+  results sublane-stacked to [128, W] so the 2-periodic column-decimation
+  matmuls run at full MXU row utilization -> 16 output planes
+  (ll/lh/hl/hh x 4 tree combos).  Matmuls whose constant operand is
+  bf16-exact (possibly after factoring sqrt(2)) run as exact 3-pass bf16
+  splits instead of 6-pass HIGHEST (dot_exact).
 
 The q2c combination stays outside (one elementwise XLA op).
 Requires H % 32 == 0 and an even lane-chunk divisor of W (callers fall
@@ -78,19 +81,24 @@ def pick_chunk2(w: int, cap: int = 512) -> int | None:
 @lru_cache(maxsize=None)
 def _consts_l1(chunk: int):
     h0, h1 = np.asarray(C.LEGALL_H0), np.asarray(C.LEGALL_H1)
-    # row conv+decimate: R[f][rt][m, HALO + 2m + rt - k] = f[k]
+    # row conv+decimate: R[f][rt][m, HALO + 2m + rt - k] = f[k].  The four
+    # (fi, rt) matrices are stacked along M so one [64, 48] matmul computes
+    # all row passes at once (M-padding on the MXU is per-matmul).
     rsel = np.zeros((2, 2, STRIP // 2, STRIP + 2 * HALO), np.float32)
     for fi, f in enumerate((h0, h1)):
         for rt in range(2):
             for m in range(STRIP // 2):
                 for k, coef in enumerate(f):
                     rsel[fi, rt, m, HALO + 2 * m + rt - k] += coef
+    rsel_stacked, rsel_scale = exact_or_scaled(
+        rsel.reshape(4 * (STRIP // 2), STRIP + 2 * HALO))
+    assert rsel_scale is not None  # LeGall / sqrt(2) is dyadic
     # column decimation: S2[ct][j, n] = 1 iff j == 2n + ct (2-periodic)
     s2 = np.zeros((2, chunk, chunk // 2), np.float32)
     for ct in range(2):
         for n in range(chunk // 2):
             s2[ct, 2 * n + ct, n] = 1.0
-    return rsel, s2, h0, h1
+    return rsel_stacked, s2, h0, h1, rsel_scale
 
 
 class RollCache:
@@ -132,13 +140,69 @@ def _col_conv(x, f, rc: RollCache | None = None):
     return acc
 
 
+def _mat_bf16_exact(mat) -> bool:
+    """True when every entry of a constant matrix is bf16-representable
+    (0/1 selection matrices, dyadic-rational filter tables...)."""
+    import ml_dtypes
+
+    m = np.asarray(mat, np.float32)
+    return bool(np.array_equal(m.astype(ml_dtypes.bfloat16).astype(np.float32), m))
+
+
+_SQRT2 = np.float32(np.sqrt(2.0))
+
+
+def exact_or_scaled(mat):
+    """(scaled_matrix, post_scale) such that scaled_matrix is bf16-exact and
+    scaled_matrix * post_scale reproduces ``mat`` bit-for-bit in f32 — the
+    sqrt(2)-normalized LeGall tables are dyadic once the sqrt(2) is factored
+    out.  Returns (mat, None) when no exact factoring exists (q-shift)."""
+    m = np.asarray(mat, np.float32)
+    if _mat_bf16_exact(m):
+        return m, np.float32(1.0)
+    cand = (m / _SQRT2).astype(np.float32)
+    if _mat_bf16_exact(cand) and np.array_equal(
+        (cand * _SQRT2).astype(np.float32), m
+    ):
+        return cand, _SQRT2
+    return m, None
+
+
+def _split3(x):
+    """f32 -> three bf16 terms summing (in f32) to x to full f32 precision."""
+    x0 = x.astype(jnp.bfloat16)
+    r1 = x - x0.astype(jnp.float32)
+    x1 = r1.astype(jnp.bfloat16)
+    x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def dot_exact(a, b, *, exact_side: str):
+    """MXU matmul, full f32 accuracy in 3 passes instead of HIGHEST's 6.
+
+    Mosaic cannot lower precision=HIGH inside kernels, and DEFAULT rounds
+    f32 operands to one bf16 pass.  When ONE operand is bf16-exact (a
+    constant selection/filter matrix), splitting only the OTHER operand
+    into three bf16 terms makes sum(term_i @ B) exact to f32 working
+    precision: B carries no rounding, and the three splits of A cover 24+
+    mantissa bits.  ``exact_side`` names the bf16-exact operand."""
+    if exact_side == "left":
+        c = a.astype(jnp.bfloat16)
+        parts = _split3(b)
+        return sum(jnp.dot(c, p, preferred_element_type=jnp.float32) for p in parts)
+    c = b.astype(jnp.bfloat16)
+    parts = _split3(a)
+    return sum(jnp.dot(p, c, preferred_element_type=jnp.float32) for p in parts)
+
+
 def _decimate(x, s2_ref, ct, chunk):
+    """Lane decimation via 2-periodic selection matmul.  x may be a sublane
+    STACK of many 16-row planes — feeding the MXU 128 rows at a time is 8x
+    fewer passes than per-plane [16, chunk] matmuls."""
     w = x.shape[-1]
     n = w // chunk
     segs = [
-        jnp.dot(x[:, l * chunk : (l + 1) * chunk], s2_ref[ct],
-                preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
+        dot_exact(x[:, l * chunk : (l + 1) * chunk], s2_ref[ct], exact_side="right")
         for l in range(n)
     ]
     return segs[0] if n == 1 else jnp.concatenate(segs, axis=1)
@@ -164,23 +228,34 @@ def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
         c0.wait(); c1.wait(); c2.wait()
 
         x = scratch[:]  # [STRIP + 2*HALO, W]
-        # row stage: [16, 48] @ [48, W] for (filter lo/hi) x (phase rt)
-        rows = {}
-        for fi in range(2):
-            for rt in range(2):
-                rows[(fi, rt)] = jnp.dot(rsel_ref[fi, rt], x,
-                                         preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-        # col stage per tree combo; output plane order:
-        # [ll x 4 combos, lh x 4, hl x 4, hh x 4], combos (rt, ct) row-major
+        # row stage: one [64, 48] @ [48, W] matmul covers all four
+        # (filter lo/hi) x (phase rt) passes; the ref holds the matrix with
+        # its sqrt(2) factored out (dyadic -> bf16-exact), restored after
+        rows_all = dot_exact(rsel_ref[:], x, exact_side="left")
+        rows_all = rows_all * _consts_l1(chunk)[4]
+        m = STRIP // 2
+        rows = {(fi, rt): rows_all[(2 * fi + rt) * m : (2 * fi + rt + 1) * m]
+                for fi in range(2) for rt in range(2)}
+        # col stage: the 8 unique (band, rt) convolutions (shared across the
+        # two ct phases), stacked on the sublane axis into one [128, W] array
+        # so both decimation matmuls run with full MXU row utilization.
+        # Output plane order: [ll x 4 combos, lh x 4, hl x 4, hh x 4],
+        # combos (rt, ct) row-major -> plane = band * 4 + rt * 2 + ct.
         h0, h1 = _consts_l1(chunk)[2], _consts_l1(chunk)[3]
         rc = RollCache()
+        convs = []  # block i = 2 * band + rt
         for band, (row_f, col_f) in enumerate(
             [(0, h0), (0, h1), (1, h0), (1, h1)]  # ll, lh, hl, hh
         ):
-            for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-                full = _col_conv(rows[(row_f, rt)], col_f, rc)
-                o_ref[0, band * 4 + ci] = _decimate(full, s2_ref, ct, chunk)
+            for rt in range(2):
+                convs.append(_col_conv(rows[(row_f, rt)], col_f, rc))
+        stacked = jnp.concatenate(convs, axis=0)  # [8m, W]
+        for ct in range(2):
+            dec = _decimate(stacked, s2_ref, ct, chunk)
+            for band in range(4):
+                for rt in range(2):
+                    i = 2 * band + rt
+                    o_ref[0, band * 4 + rt * 2 + ct] = dec[i * m : (i + 1) * m]
 
     pl.run_scoped(body, scratch=pltpu.VMEM((STRIP + 2 * HALO, x_hbm.shape[-1]), jnp.float32),
                   sem=pltpu.SemaphoreType.DMA((3,)))
@@ -197,14 +272,14 @@ def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False):
     x = _wrap_pad(x, h0_, w0)
     _, h, w = x.shape
     chunk = pick_chunk2(w)
-    rsel, s2, _, _ = _consts_l1(chunk)
+    rsel, s2, _, _, _ = _consts_l1(chunk)
     out = pl.pallas_call(
         partial(_kernel, (h, chunk)),
         out_shape=jax.ShapeDtypeStruct((b, 16, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((2, 2, STRIP // 2, STRIP + 2 * HALO), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((2 * STRIP, STRIP + 2 * HALO), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -239,11 +314,20 @@ def _consts_q(chunk: int):
             for m in range(STRIP // 2):
                 for k, coef in enumerate(f):
                     rsel[t, fi, m, QHALO + 2 * m - k] += coef
+    # Block-diagonal row matrix: one [128, 256] matmul against the four tree
+    # combos' scratch stacked [256, W] runs every row pass of the level at
+    # full MXU utilization.  Block ci covers combo (rt, ct) = _TREES[ci]
+    # with its row tree rt: rows [32ci, 32ci+16) = lowpass, +16.. = highpass.
+    kq = STRIP + 2 * QHALO
+    qrow = np.zeros((4 * STRIP, 4 * kq), np.float32)
+    for ci, (rt, _ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        qrow[ci * STRIP : ci * STRIP + STRIP // 2, ci * kq : (ci + 1) * kq] = rsel[rt, 0]
+        qrow[ci * STRIP + STRIP // 2 : (ci + 1) * STRIP, ci * kq : (ci + 1) * kq] = rsel[rt, 1]
     s2 = np.zeros((2, chunk, chunk // 2), np.float32)
     for ct in range(2):
         for n in range(chunk // 2):
             s2[ct, 2 * n + ct, n] = 1.0
-    return rsel, s2, filters
+    return qrow, s2, filters
 
 
 def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
@@ -268,21 +352,30 @@ def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
         c0.wait(); c1.wait(); c2.wait()
 
         filters = _consts_q(chunk)[2]
+        kq = STRIP + 2 * QHALO
+        m = STRIP // 2
+        # one block-diagonal [128, 256] row matmul for all 4 tree combos
+        # (q-shift coefficients are not bf16-exact: stay at HIGHEST)
+        xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
+        lohi = jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         # combos in _TREES order; plane layout matches level 1:
-        # [ll x 4 combos, lh x 4, hl x 4, hh x 4]
+        # [ll x 4 combos, lh x 4, hl x 4, hh x 4].  All 16 column convs are
+        # stacked on sublanes so the single phase-0 decimation runs as
+        # [256, chunk] @ [chunk, chunk/2] matmuls (2 full M-tiles).
+        convs = [None] * 16
         for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
-            x = scratch[ci]  # [STRIP + 2*QHALO, W] (tree combo ci's lowpass)
-            lo = jnp.dot(rsel_ref[rt, 0], x, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-            hi = jnp.dot(rsel_ref[rt, 1], x, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+            lo = lohi[ci * STRIP : ci * STRIP + m]
+            hi = lohi[ci * STRIP + m : (ci + 1) * STRIP]
             h0c, h1c = filters[ct]
             rc = RollCache()
             for band, (rows_, col_f) in enumerate(
                 [(lo, h0c), (lo, h1c), (hi, h0c), (hi, h1c)]
             ):
-                full = _col_conv(rows_, col_f, rc)
-                o_ref[0, band * 4 + ci] = _decimate(full, s2_ref, 0, chunk)
+                convs[band * 4 + ci] = _col_conv(rows_, col_f, rc)
+        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk)
+        for p in range(16):
+            o_ref[0, p] = dec[p * m : (p + 1) * m]
 
     pl.run_scoped(
         body,
@@ -308,7 +401,7 @@ def dtcwt_qshift_analysis(ll4: jnp.ndarray, interpret: bool = False):
         grid=(b, h // STRIP),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((2, 2, STRIP // 2, STRIP + 2 * QHALO), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((4 * STRIP, 4 * (STRIP + 2 * QHALO)), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),

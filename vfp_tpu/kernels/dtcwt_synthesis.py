@@ -6,9 +6,13 @@ whole level per (batch, 32-output-row strip) grid cell:
 
   circular-halo DMA of the 16 coefficient planes -> row up-sampling,
   row filter, and the constant output roll folded into static [32, 32]
-  scatter matrices (one MXU matmul per plane) -> column up-sampling as a
-  2-phase polyphase convolution via non-negative lane ROLLS -> per-phase
-  outputs [..., 2h, 2, w].
+  scatter matrices, applied as block-diagonal [128, 128] matmuls over 4
+  sublane-stacked planes per shared matrix (full MXU row utilization; the
+  dyadic LeGall matrices additionally run as exact 3-pass bf16 splits, see
+  dtcwt_level1.dot_exact) -> column up-sampling as a 2-phase polyphase
+  convolution, accumulated across planes BEFORE rolling so each distinct
+  lane shift costs one roll (_poly_col_sum) -> per-phase outputs
+  [..., 2h, 2, w].
 
 The cheap epilogue (interleave the two column phases, circular column roll,
 crop to the pre-pad size) is one fused XLA op in the wrapper.
@@ -38,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import dtcwt_coeffs as C
-from .dtcwt_level1 import RollCache
+from .dtcwt_level1 import RollCache, dot_exact, exact_or_scaled
 
 SHALO = 8  # input-row halo (top and bottom) around the 16 rows per strip
 SMARGIN_W = 8  # wrapped left margin (columns); covers max roll d = 6
@@ -81,6 +85,24 @@ def _poly_col(x, taps, rc: RollCache | None = None):
     return acc
 
 
+def _poly_col_sum(pairs):
+    """sum_i poly_col(x_i, taps_i) with ONE roll per distinct shift:
+    sum_i sum_d tap_i[d] roll(x_i, d) == sum_d roll(sum_i tap_i[d] x_i, d).
+    Lane rolls are the VPU-expensive op here — accumulating all planes that
+    share a shift before rolling turns O(planes x taps) rolls into
+    O(distinct shifts)."""
+    z = {}
+    for x, taps in pairs:
+        for d, coef in taps:
+            term = x * coef
+            z[d] = term if d not in z else z[d] + term
+    acc = None
+    for d in sorted(z):
+        t = pltpu.roll(z[d], d, axis=1) if d else z[d]
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx):
     """Copy input rows [16g - 8, 16g + 24) (circular) of all planes."""
     main = pl.multiple_of(16 * g, 8)
@@ -98,16 +120,27 @@ def _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx):
     c0.wait(); c1.wait(); c2.wait()
 
 
+def _bd4(a: np.ndarray) -> np.ndarray:
+    """kron(I4, a): the same [32, 32] row matrix applied to four planes
+    stacked on sublanes becomes ONE full-tile [128, 128] matmul instead of
+    four 6%-utilized [32, 32] ones."""
+    return np.kron(np.eye(4, dtype=np.float32), np.asarray(a, np.float32))
+
+
 @lru_cache(maxsize=None)
 def _consts_syn_q():
     g = {0: (np.asarray(C.QSHIFT_G0A), np.asarray(C.QSHIFT_G1A)),
          1: (np.asarray(C.QSHIFT_G0B), np.asarray(C.QSHIFT_G1B))}
     roll = C.QSHIFT_ROLL_A  # == ROLL_B
-    rmat = np.stack([np.stack([_row_matrix(g[t][fi], roll, 0) for fi in range(2)])
-                     for t in range(2)])  # [tree, fi, 32, 32]
+    # group (rt, fi) -> block-diag of its [32, 32] row matrix; the group's 4
+    # planes are (band, ci): band in {0,1} (fi=0: g0r) or {2,3} (fi=1: g1r),
+    # ci in {2rt, 2rt+1}
+    rmat = np.stack([_bd4(_row_matrix(g[rt][fi], roll, 0))
+                     for rt in range(2) for fi in range(2)])  # [4, 128, 128]
     taps = {(t, fi, p): _col_taps(g[t][fi], 0, p)
             for t in range(2) for fi in range(2) for p in range(2)}
-    return rmat, taps
+    rmat, scale = exact_or_scaled(rmat)
+    return rmat, taps, scale
 
 
 def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
@@ -117,28 +150,29 @@ def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
 
     def body(scratch, sem):
         _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
-        _, taps = _consts_syn_q()
+        _, taps, scale = _consts_syn_q()
+        # row stage: 4 block-diagonal [128, 128] matmuls (one per (rt, fi)
+        # matrix) over 4 planes stacked on sublanes, instead of 16 [32, 32]s
+        rrows = {}
+        for gi, (rt, fi) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            bands = (0, 1) if fi == 0 else (2, 3)
+            cis = (2 * rt, 2 * rt + 1)
+            planes = [(band, ci) for band in bands for ci in cis]
+            stackx = jnp.concatenate([scratch[band * 4 + ci]
+                                      for band, ci in planes], axis=0)
+            res = (dot_exact(rmat_ref[gi], stackx, exact_side="left") * scale
+                   if scale is not None else
+                   jnp.dot(rmat_ref[gi], stackx,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            for k, (band, ci) in enumerate(planes):
+                rrows[(band, ci)] = res[32 * k : 32 * (k + 1)]
         for ci, (rt, ct) in enumerate(_TREES):
-            # rows: [32, 32] @ [32, W] per plane; g0r for the lo pair, g1r hi
-            r_ll = jnp.dot(rmat_ref[rt, 0], scratch[0 * 4 + ci],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            r_lh = jnp.dot(rmat_ref[rt, 0], scratch[1 * 4 + ci],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            r_hl = jnp.dot(rmat_ref[rt, 1], scratch[2 * 4 + ci],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            r_hh = jnp.dot(rmat_ref[rt, 1], scratch[3 * 4 + ci],
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            rc = RollCache()
             for p in range(2):
-                o_ref[0, ci, p] = (
-                    _poly_col(r_ll, taps[(ct, 0, p)], rc)
-                    + _poly_col(r_lh, taps[(ct, 1, p)], rc)
-                    + _poly_col(r_hl, taps[(ct, 0, p)], rc)
-                    + _poly_col(r_hh, taps[(ct, 1, p)], rc)
+                # the 4 band terms accumulate into one output: sum-then-roll
+                o_ref[0, ci, p] = _poly_col_sum(
+                    [(rrows[(band, ci)], taps[(ct, (0, 1, 0, 1)[band], p)])
+                     for band in range(4)]
                 )
 
     pl.run_scoped(
@@ -152,11 +186,12 @@ def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
 def _consts_syn_l1():
     g0, g1 = np.asarray(C.LEGALL_G0), np.asarray(C.LEGALL_G1)
     roll = C.LEGALL_ROLL
-    rmat = np.stack([np.stack([_row_matrix((g0, g1)[fi], roll, rt) for fi in range(2)])
-                     for rt in range(2)])  # [rt, fi, 32, 32]
+    rmat = np.stack([_bd4(_row_matrix((g0, g1)[fi], roll, rt))
+                     for rt in range(2) for fi in range(2)])  # [4, 128, 128]
     taps = {(ct, fi, p): _col_taps((g0, g1)[fi], ct, p)
             for ct in range(2) for fi in range(2) for p in range(2)}
-    return rmat, taps
+    rmat, scale = exact_or_scaled(rmat)
+    return rmat, taps, scale
 
 
 def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
@@ -166,27 +201,33 @@ def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
 
     def body(scratch, sem):
         _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
-        _, taps = _consts_syn_l1()
-        rc = RollCache()
-        rows = {}
-        for ci, (rt, ct) in enumerate(_TREES):
-            rows[ci] = tuple(
-                jnp.dot(rmat_ref[rt, 0 if band < 2 else 1],
-                        scratch[band * 4 + ci],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                for band in range(4)
-            )
+        _, taps, scale = _consts_syn_l1()
+        # row stage: 4 block-diagonal [128, 128] matmuls, one per (rt, fi)
+        # matrix over its 4 planes stacked on sublanes (LeGall synthesis
+        # filters are dyadic, so the exact 3-pass split matmul applies)
+        rrows = {}
+        for gi, (rt, fi) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            bands = (0, 1) if fi == 0 else (2, 3)
+            cis = (2 * rt, 2 * rt + 1)
+            planes = [(band, ci) for band in bands for ci in cis]
+            stackx = jnp.concatenate([scratch[band * 4 + ci]
+                                      for band, ci in planes], axis=0)
+            res = (dot_exact(rmat_ref[gi], stackx, exact_side="left") * scale
+                   if scale is not None else
+                   jnp.dot(rmat_ref[gi], stackx,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            for k, (band, ci) in enumerate(planes):
+                rrows[(band, ci)] = res[32 * k : 32 * (k + 1)]
         for p in range(2):
-            acc = None
-            for ci, (rt, ct) in enumerate(_TREES):
-                r_ll, r_lh, r_hl, r_hh = rows[ci]
-                term = (_poly_col(r_ll, taps[(ct, 0, p)], rc)
-                        + _poly_col(r_lh, taps[(ct, 1, p)], rc)
-                        + _poly_col(r_hl, taps[(ct, 0, p)], rc)
-                        + _poly_col(r_hh, taps[(ct, 1, p)], rc))
-                acc = term if acc is None else acc + term
-            o_ref[0, p] = acc * 0.25
+            # every (band, ci) term feeds ONE accumulated output, so the
+            # sum-then-roll identity collapses 64 lane rolls to <= ~5
+            pairs = [
+                (rrows[(band, ci)], taps[(ct, (0, 1, 0, 1)[band], p)])
+                for ci, (rt, ct) in enumerate(_TREES)
+                for band in range(4)
+            ]
+            o_ref[0, p] = _poly_col_sum(pairs) * 0.25
 
     pl.run_scoped(
         body,
@@ -228,14 +269,14 @@ def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False):
     if t != 16 or not synthesis_eligible(h, w):
         raise ValueError(f"needs 16 planes and an eligible shape; got {planes.shape}")
     planes, hp, wp = _prep(planes, h, w)
-    rmat, _ = _consts_syn_q()
+    rmat, _, _ = _consts_syn_q()
     out = pl.pallas_call(
         partial(_kernel_syn_q, (hp,)),
         out_shape=jax.ShapeDtypeStruct((b, 4, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // 16),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((2, 2, 32, 32), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 4, 2, 32, wp), lambda i, j: (i, 0, 0, j, 0),
@@ -253,14 +294,14 @@ def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False):
     if t != 16 or not synthesis_eligible(h, w):
         raise ValueError(f"needs 16 planes and an eligible shape; got {planes.shape}")
     planes, hp, wp = _prep(planes, h, w)
-    rmat, _ = _consts_syn_l1()
+    rmat, _, _ = _consts_syn_l1()
     out = pl.pallas_call(
         partial(_kernel_syn_l1, (hp,)),
         out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // 16),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((2, 2, 32, 32), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 2, 32, wp), lambda i, j: (i, 0, j, 0),

@@ -53,6 +53,126 @@ def _detect_all(segment_files, key: int):
     return results
 
 
+def _corr_batch_fn(codec, refs_shape):
+    """Jitted [B,H,W,3] frames + [K,h,w] refs -> [B, K] normalized
+    correlations of each frame's recovered plane against every candidate
+    keyed reference (the 'fast' rule of reference:
+    src/offmark/degenerator/de_corr_shuffler.py:14-30, batched over keys).
+    Correlations are computed on-device so only a [B, K] scalar table
+    crosses the host<->chip link."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def fn(frames, refs):
+        planes = codec.extract_frames(frames)  # [B, h, w]
+        n = planes.shape[-2] * planes.shape[-1]
+        p = (planes - planes.mean(axis=(-2, -1), keepdims=True)) / planes.std(
+            axis=(-2, -1), keepdims=True
+        )
+        r = (refs - refs.mean(axis=(-2, -1), keepdims=True)) / refs.std(
+            axis=(-2, -1), keepdims=True
+        )
+        return jnp.einsum("bhw,khw->bk", p, r) / n
+
+    return fn
+
+
+def _corr_detect_all(segment_files, codec, refs, batch_size, threshold):
+    """Presence + identification per segment: a segment succeeds when its
+    expected key both clears the correlation threshold and wins the argmax
+    across all candidate keys on a majority of frames."""
+    import jax.numpy as jnp
+
+    fn = _corr_batch_fn(codec, refs.shape)
+    refs_j = jnp.asarray(refs)
+    results = []
+    for i, seg in enumerate(segment_files):
+        frames, _ = _read_all(seg)
+        rows = []
+        for s in range(0, len(frames), batch_size):
+            batch = frames[s : s + batch_size]
+            k = len(batch)
+            if k < batch_size:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], batch_size - k, axis=0)]
+                )
+            rows.append(np.asarray(fn(jnp.asarray(batch), refs_j))[:k])
+        corr = np.concatenate(rows)  # [n_frames, K]
+        hit = (corr[:, i] > threshold) & (corr.argmax(axis=1) == i)
+        freq = float(hit.mean())
+        ok = freq >= 0.5
+        results.append(
+            {
+                "segment": str(seg),
+                "segment_number": i,
+                "expected_payload": [i],
+                "pattern": [int(np.bincount(corr.argmax(axis=1)).argmax())],
+                "mean_correlation": float(corr[:, i].mean()),
+                "frequency": freq,
+                "success": ok,
+            }
+        )
+    return results
+
+
+def run_durability_corr(
+    input_file,
+    output_dir,
+    segment_duration: float = 2.0,
+    quality: int = 90,
+    batch_size: int = 8,
+    threshold: float = 0.1,
+    codec=None,
+):
+    """DT-CWT spread-spectrum durability: mark each segment with a keyed
+    +-1 plane (key = segment number), splice + re-encode + re-segment, and
+    re-identify each segment by correlation (reference detector threshold:
+    src/offmark/degenerator/de_corr_shuffler.py:27 corr > 0.1).  Report
+    schema matches run_durability; pass bar >= 75% preservation."""
+    from ..wm import CorrShuffler, DeCorrShuffler
+    from ..wm.dtcwt_codecs import DtcwtKey
+
+    t0 = time.time()
+    codec = codec or DtcwtKey()
+    base = Path(output_dir)
+    marked_dir = base / "marked_segments"
+    marked_dir.mkdir(parents=True, exist_ok=True)
+
+    segments = segment_video(input_file, base / "segments", segment_duration)
+    logger.info("created %d segments (corr mode)", len(segments))
+
+    marked_files = []
+    cap = None
+    for i, seg in enumerate(segments):
+        frames, fps = _read_all(seg)
+        h, w = frames.shape[1:3]
+        cap = codec.wm_capacity((h, w, 3))
+        wm = CorrShuffler(key=i).generate_wm(None, cap)
+        fm = FrameMarker(codec, wm, batch_size=batch_size)
+        out = marked_dir / f"marked_{Path(seg).name}"
+        with open_writer(out, w, h, fps, quality) as writer:
+            for s in range(0, len(frames), batch_size):
+                writer.write_batch(fm.mark(frames[s : s + batch_size]))
+        marked_files.append(out)
+
+    refs = np.stack(
+        [
+            np.asarray(DeCorrShuffler(key=k)._reference(tuple(cap)), np.float32)
+            for k in range(len(segments))
+        ]
+    )
+    original_results = _corr_detect_all(marked_files, codec, refs, batch_size, threshold)
+
+    spliced = base / ("full.mp4" if str(marked_files[0]).endswith(".mp4") else "full.avi")
+    concatenate_segments(marked_files, spliced)
+    resegmented = segment_video(spliced, base / "resegmented", segment_duration)
+    reencoded_results = _corr_detect_all(
+        resegmented[: len(segments)], codec, refs, batch_size, threshold
+    )
+    return _analyze(original_results, reencoded_results, t0)
+
+
 def run_durability(
     input_file,
     output_dir,
@@ -94,7 +214,10 @@ def run_durability(
     concatenate_segments(marked_files, spliced)
     resegmented = segment_video(spliced, base / "resegmented", segment_duration)
     reencoded_results = _detect_all(resegmented, key)
+    return _analyze(original_results, reencoded_results, t0)
 
+
+def _analyze(original_results, reencoded_results, t0):
     orig_ok = sum(r["success"] for r in original_results)
     re_ok = sum(r["success"] for r in reencoded_results)
     pairs = min(len(original_results), len(reencoded_results))
