@@ -370,3 +370,164 @@ class Transform2d:
             subs.setdefault((1, 0), []).append(ba)
             subs.setdefault((1, 1), []).append(bb)
         return {k: tuple(v) for k, v in subs.items()}
+
+    # -- raw tree-domain interface --------------------------------------------
+    # The q2c combine is a fixed unitary map; consumers that only touch a few
+    # levels (the watermark codecs modify level 3 and read level-2
+    # magnitudes) can stay in the kernels' NATIVE packed-plane layout
+    # [ll*4, lh*4, hl*4, hh*4] (combos (rt, ct) row-major) and convert just
+    # the planes they do complex math on.  Profiling on chip showed the
+    # q2c/c2q combines + the lowpass interleave were ~half of the codec's
+    # device time — all of it avoidable glue.
+
+    def forward_raw(self, x, nlevels: int = 3):
+        """[..., H, W] -> (planes_list, sizes): planes_list[lev] is
+        [..., 16, h, w] pre-q2c tree-domain planes; [..., :4, :, :] are the
+        4 tree lowpasses that fed level lev+1 (deepest level's are the
+        final lowpasses, NOT interleaved)."""
+        x = jnp.asarray(x, jnp.float32)
+        planes_out = []
+        sizes = []
+        x, orig = _pad_even(x)
+        sizes.append(orig)
+        lead = x.shape[:-2]
+        h, w = x.shape[-2:]
+        mode = self._kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_level1 import dtcwt_level1_analysis
+            planes = dtcwt_level1_analysis(x.reshape(-1, h, w), interpret=mode)
+            planes = planes.reshape(*lead, 16, h // 2, w // 2)
+        else:
+            ll = {}
+            subs = {}
+            for rt, ct in _TREES:
+                l, lh, hl, hh = _analysis2d(x, C.LEGALL_H0, C.LEGALL_H1, rt, ct)
+                ll[(rt, ct)] = l
+                subs[(rt, ct)] = (lh, hl, hh)
+            planes = self._pack_planes(ll, subs)
+        planes_out.append(planes)
+        for lev in range(1, nlevels):
+            stack, lvl_sizes = _pad_even(planes[..., :4, :, :])
+            h, w = stack.shape[-2:]
+            mode = self._kernel_mode(h, w)
+            if mode is not None:
+                from ..kernels.dtcwt_level1 import dtcwt_qshift_analysis
+                planes = dtcwt_qshift_analysis(stack.reshape(-1, 4, h, w),
+                                               interpret=mode)
+                planes = planes.reshape(*lead, 16, h // 2, w // 2)
+            else:
+                ll = {}
+                subs = {}
+                for ci, (rt, ct) in enumerate(_TREES):
+                    xi = stack[..., ci, :, :]
+                    h0r, h1r = (C.QSHIFT_H0A, C.QSHIFT_H1A) if rt == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+                    h0c, h1c = (C.QSHIFT_H0A, C.QSHIFT_H1A) if ct == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+                    lo = _along_rows(down2, xi, h0r, 0)
+                    hi = _along_rows(down2, xi, h1r, 0)
+                    ll[(rt, ct)] = down2(lo, h0c, 0)
+                    subs[(rt, ct)] = (down2(lo, h1c, 0), down2(hi, h0c, 0),
+                                      down2(hi, h1c, 0))
+                planes = self._pack_planes(ll, subs)
+            sizes.append(lvl_sizes)
+            planes_out.append(planes)
+        return planes_out, sizes
+
+    def inverse_raw(self, planes_list, sizes=None):
+        """Inverse of forward_raw: reconstruct [..., H, W] from per-level raw
+        planes.  The ll planes of levels < deepest are ignored (recomputed by
+        the reconstruction); level 0 uses the LeGall bank, deeper levels the
+        q-shift bank, exactly like ``inverse``."""
+        nlevels = len(planes_list)
+        lead = planes_list[-1].shape[:-3]
+        ll4 = planes_list[-1][..., :4, :, :]
+        for lev in range(nlevels - 1, 0, -1):
+            kplanes = jnp.concatenate(
+                [ll4, planes_list[lev][..., 4:, :, :]], axis=-3)
+            h, w = kplanes.shape[-2:]
+            mode = self._syn_kernel_mode(h, w)
+            if mode is not None:
+                from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis
+                out = dtcwt_qshift_synthesis(
+                    kplanes.reshape(-1, 16, h, w), interpret=mode
+                ).reshape(*lead, 4, 2 * h, 2 * w)
+            else:
+                ll, subs = self._unpack_planes(kplanes)
+                outs = []
+                for rt, ct in _TREES:
+                    lh, hl, hh = subs[(rt, ct)]
+                    g0r, g1r = (C.QSHIFT_G0A, C.QSHIFT_G1A) if rt == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
+                    g0c, g1c = (C.QSHIFT_G0A, C.QSHIFT_G1A) if ct == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
+                    rr = C.QSHIFT_ROLL_A if rt == 0 else C.QSHIFT_ROLL_B
+                    rc = C.QSHIFT_ROLL_A if ct == 0 else C.QSHIFT_ROLL_B
+                    lo = up2(ll[(rt, ct)], g0c, 0) + up2(subs[(rt, ct)][0], g1c, 0)
+                    hi = up2(hl, g0c, 0) + up2(hh, g1c, 0)
+                    lo = jnp.roll(lo, rc, axis=-1)
+                    hi = jnp.roll(hi, rc, axis=-1)
+                    xx = _along_rows(up2, lo, g0r, 0) + _along_rows(up2, hi, g1r, 0)
+                    outs.append(jnp.roll(xx, rr, axis=-2))
+                out = jnp.stack(outs, axis=-3)
+            if sizes is not None:
+                oh, ow = sizes[lev]
+                out = out[..., :oh, :ow]
+            ll4 = out
+        kplanes = jnp.concatenate(
+            [ll4, planes_list[0][..., 4:, :, :]], axis=-3)
+        h, w = kplanes.shape[-2:]
+        mode = self._syn_kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis
+            out = dtcwt_legall_synthesis(
+                kplanes.reshape(-1, 16, h, w), interpret=mode
+            ).reshape(*lead, 2 * h, 2 * w)
+        else:
+            ll, subs = self._unpack_planes(kplanes)
+            out = 0.0
+            for rt, ct in _TREES:
+                lh, hl, hh = subs[(rt, ct)]
+                out = out + _synthesis2d(
+                    ll[(rt, ct)], lh, hl, hh, C.LEGALL_G0, C.LEGALL_G1,
+                    rt, ct, C.LEGALL_ROLL, C.LEGALL_ROLL,
+                )
+            out = out * 0.25
+        if sizes is not None:
+            oh, ow = sizes[0]
+            out = out[..., :oh, :ow]
+        return out
+
+
+def q2c_planes(planes):
+    """Raw [..., 16, h, w] -> complex subbands [..., h, w, 6]
+    (band order [LH+, LH-, HL+, HL-, HH+, HH-], matching Pyramid)."""
+    vals = []
+    for band in range(3):
+        aa = planes[..., (band + 1) * 4 + 0, :, :]
+        ab = planes[..., (band + 1) * 4 + 1, :, :]
+        ba = planes[..., (band + 1) * 4 + 2, :, :]
+        bb = planes[..., (band + 1) * 4 + 3, :, :]
+        zp, zm = _q2c(aa, ab, ba, bb)
+        vals += [zp, zm]
+    return jnp.stack(vals, axis=-1)
+
+
+def q2c_magnitudes(planes):
+    """Raw [..., 16, h, w] -> |subband| [..., 6, h, w] without materializing
+    complex intermediates (|zp| = 0.5 sqrt((aa-bb)^2 + (ab+ba)^2))."""
+    out = []
+    for band in range(3):
+        aa = planes[..., (band + 1) * 4 + 0, :, :]
+        ab = planes[..., (band + 1) * 4 + 1, :, :]
+        ba = planes[..., (band + 1) * 4 + 2, :, :]
+        bb = planes[..., (band + 1) * 4 + 3, :, :]
+        out.append(0.5 * jnp.sqrt((aa - bb) ** 2 + (ab + ba) ** 2))
+        out.append(0.5 * jnp.sqrt((aa + bb) ** 2 + (ab - ba) ** 2))
+    return jnp.stack(out, axis=-3)
+
+
+def c2q_subs(high6):
+    """Complex subbands [..., h, w, 6] -> raw sub planes [..., 12, h, w]
+    (the inverse of q2c_planes; ll planes are NOT included)."""
+    outs = []
+    for i in range(3):
+        aa, ab, ba, bb = _c2q(high6[..., 2 * i], high6[..., 2 * i + 1])
+        outs += [aa, ab, ba, bb]
+    return jnp.stack(outs, axis=-3)

@@ -24,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.color import bgr_to_yuv, yuv_to_bgr, M_BWD
-from ..ops.dtcwt import Pyramid, Transform2d
+from ..ops.dtcwt import (Pyramid, Transform2d, c2q_subs, q2c_magnitudes,
+                         q2c_planes)
 from ..ops.filters import filter2d_mean2x2, rebin_mean
 
 
@@ -88,6 +89,17 @@ class _DtcwtBase:
         uc._sizes = both._sizes
         return both.highpasses[1][:b], uc
 
+    def _joint_forward_raw(self, y: jnp.ndarray, u: jnp.ndarray):
+        """One batched raw-domain DT-CWT over [Y; U]: the codecs only do
+        complex math on the (tiny) level-3 grid, so everything stays in the
+        kernels' native packed-plane layout — no q2c/c2q or lowpass
+        interleave glue on the frame-scale levels (measured ~half the
+        codec's device time)."""
+        t = Transform2d()
+        planes, sizes = t.forward_raw(
+            jnp.concatenate([y, u], axis=0), nlevels=self.nlevels)
+        return t, planes, sizes
+
     def _masks3(self, y: jnp.ndarray, shape3) -> jnp.ndarray:
         """[B, H, W] Y channel -> [B, h3, w3, 6] per-subband masks
         (reference: dtcwt_key_encoder.py:29-33, dtcwt_img_encoder.py:31-35)."""
@@ -98,6 +110,10 @@ class _DtcwtBase:
     def _masks3_from_hp2(self, hp2c: jnp.ndarray, shape3, zero_guard: bool = False) -> jnp.ndarray:
         hp2 = jnp.abs(hp2c)  # [B, h2, w2, 6]
         hp2 = jnp.moveaxis(hp2, -1, 1)  # [B, 6, h2, w2]
+        return self._masks3_from_mags(hp2, shape3, zero_guard)
+
+    def _masks3_from_mags(self, hp2, shape3, zero_guard: bool = False) -> jnp.ndarray:
+        """[B, 6, h2, w2] subband magnitudes -> [B, h3, w3, 6] masks."""
         m = filter2d_mean2x2(hp2)
         m = rebin_mean(m, shape3)
         m = jnp.ceil(m / self.step)
@@ -110,6 +126,43 @@ class _DtcwtBase:
             mx = jnp.max(m, axis=(-2, -1), keepdims=True)
             m = m / jnp.maximum(12.0, mx)
         return jnp.moveaxis(m, 1, -1)  # [B, h3, w3, 6]
+
+    # -- raw-domain embed/decode (the TPU hot path) ---------------------------
+    def _embed_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray,
+                           wm_hp: jnp.ndarray) -> jnp.ndarray:
+        """Same math as _embed_channel in the raw tree domain: the embed
+        delta alpha*mask*wm is independent of the level-3 coefficients, so
+        it is c2q-mapped once on the level-3 grid and ADDED to the raw U
+        planes — levels 1/2 never round-trip through q2c."""
+        b = y.shape[0]
+        t, planes, sizes = self._joint_forward_raw(y, u)
+        h3 = planes[self.nlevels - 1]
+        shape3 = (h3.shape[-2], h3.shape[-1])
+        masks = self._masks3_from_mags(
+            q2c_magnitudes(planes[1][:b]), shape3)  # [B, h3, w3, 6]
+        wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
+        wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
+        delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
+        dsubs = c2q_subs(delta6)  # [B, 12, h3, w3]
+        u_planes = [p[b:] for p in planes]
+        u_planes[self.nlevels - 1] = jnp.concatenate(
+            [h3[b:, :4], h3[b:, 4:] + dsubs], axis=-3)
+        return t.inverse_raw(u_planes, sizes)
+
+    def _decode_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        b = y.shape[0]
+        t, planes, sizes = self._joint_forward_raw(y, u)
+        h3 = planes[self.nlevels - 1]
+        shape3 = (h3.shape[-2], h3.shape[-1])
+        masks = self._masks3_from_mags(
+            q2c_magnitudes(planes[1][:b]), shape3, zero_guard=True)
+        coeff = q2c_planes(h3[b:]) / masks.astype(jnp.complex64) / self.alpha
+        hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
+        folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
+        folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
+        zero_ll = jnp.zeros((u.shape[0], 4, hh, ww), jnp.float32)
+        level1 = jnp.concatenate([zero_ll, c2q_subs(folded)], axis=-3)
+        return t.inverse_raw([level1], sizes=None)
 
     # -- channel-level embed/decode ------------------------------------------
     def _embed_channel(self, y: jnp.ndarray, u: jnp.ndarray, wm_hp: jnp.ndarray) -> jnp.ndarray:
@@ -153,21 +206,27 @@ class _DtcwtBase:
 
         Accepts the plane flattened too (pipeline drivers pass 1-D): the
         plane dims are a pure function of the frame shape.
+
+        The output adds only the U-channel delta back onto the ORIGINAL
+        pixels (marked = x + du * M_BWD[:, 1]): for integer inputs the
+        reference's float color roundtrip is the identity after rounding,
+        so reconstructing via yuv_to_bgr(bgr_to_yuv(x)) is pure glue.
         """
+        f32 = jnp.asarray(frames).astype(jnp.float32)
         wm_hp = self.wm_highpass(
             jnp.asarray(wm).reshape(self.wm_capacity(frames.shape[1:]))
         )
-        yuv = bgr_to_yuv(jnp.asarray(frames).astype(jnp.float32))
+        yuv = bgr_to_yuv(f32)
         u = yuv[..., 1]
-        u_new = self._embed_channel(yuv[..., 0], u, wm_hp)
-        marked = yuv_to_bgr(yuv) + (u_new - u)[..., None] * jnp.asarray(M_BWD[:, 1])
+        u_new = self._embed_channel_raw(yuv[..., 0], u, wm_hp)
+        marked = f32 + (u_new - u)[..., None] * jnp.asarray(M_BWD[:, 1])
         return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
 
     @partial(jax.jit, static_argnums=0)
     def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] uint8 -> recovered watermark planes [B, h, w]."""
         yuv = bgr_to_yuv(jnp.asarray(frames).astype(jnp.float32))
-        return self._decode_channel(yuv[..., 0], yuv[..., 1])
+        return self._decode_channel_raw(yuv[..., 0], yuv[..., 1])
 
 
 @dataclass(frozen=True)
