@@ -291,6 +291,75 @@ def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False):
     return _valid(out, h0_, w0)
 
 
+def _kernel_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
+    """Lowpass-only level 1: the mask channel (Y) only ever consumes its
+    lowpass chain, so skipping the 12 subband planes cuts the kernel's
+    HBM write traffic 4x and drops 6 of the 8 column convolutions."""
+    h_total, chunk = static
+    j = pl.program_id(1)
+    b = pl.program_id(0)
+
+    def body(scratch, sem):
+        main = pl.multiple_of(j * STRIP, 8)
+        top = pl.multiple_of(jax.lax.rem(j * STRIP - HALO + h_total, h_total), 8)
+        bot = pl.multiple_of(jax.lax.rem((j + 1) * STRIP, h_total), 8)
+        c0 = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(main, STRIP), :], scratch.at[pl.ds(HALO, STRIP), :], sem.at[0])
+        c1 = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(top, HALO), :], scratch.at[pl.ds(0, HALO), :], sem.at[1])
+        c2 = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(bot, HALO), :], scratch.at[pl.ds(HALO + STRIP, HALO), :],
+            sem.at[2])
+        c0.start(); c1.start(); c2.start()
+        c0.wait(); c1.wait(); c2.wait()
+
+        x = scratch[:]
+        rows_all = dot_exact(rsel_ref[:], x, exact_side="left")
+        rows_all = rows_all * _consts_l1(chunk)[4]
+        m = STRIP // 2
+        h0 = _consts_l1(chunk)[2]
+        rc = RollCache()
+        convs = [_col_conv(rows_all[rt * m : (rt + 1) * m], h0, rc)
+                 for rt in range(2)]  # (fi=0, rt) blocks of rows_all
+        stacked = jnp.concatenate(convs, axis=0)  # [2m, W]
+        for ct in range(2):
+            dec = _decimate(stacked, s2_ref, ct, chunk)
+            for rt in range(2):
+                o_ref[0, rt * 2 + ct] = dec[rt * m : (rt + 1) * m]
+
+    pl.run_scoped(body, scratch=pltpu.VMEM((STRIP + 2 * HALO, x_hbm.shape[-1]), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA((3,)))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_level1_analysis_ll(x: jnp.ndarray, interpret: bool = False):
+    """f32 [B, H, W] -> [B, 4, H/2, W/2]: just the 4 tree lowpasses
+    (combos (rt, ct) row-major)."""
+    b, h0_, w0 = x.shape
+    if not kernel_eligible(h0_, w0):
+        raise ValueError(f"shape {x.shape} not kernel-eligible")
+    x = _wrap_pad(x, h0_, w0)
+    _, h, w = x.shape
+    chunk = pick_chunk2(w)
+    rsel, s2, _, _, _ = _consts_l1(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_ll, (h, chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2 * STRIP, STRIP + 2 * HALO), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)
+
+
 # ---------------------------------------------------------------------------
 # Levels >= 2: same machinery with per-tree q-shift filters.  Input is the
 # 4 tree lowpasses [B, 4, h, w]; each tree's row filters fold into its own
@@ -382,6 +451,78 @@ def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
         scratch=pltpu.VMEM((4, STRIP + 2 * QHALO, x_hbm.shape[-1]), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((3,)),
     )
+
+
+def _kernel_q_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
+    """Lowpass-only q-shift level (see _kernel_ll): 4 output planes."""
+    h_total, chunk = static
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def body(scratch, sem):
+        main = pl.multiple_of(j * STRIP, 8)
+        top = pl.multiple_of(jax.lax.rem(j * STRIP - QHALO + h_total, h_total), 8)
+        bot = pl.multiple_of(jax.lax.rem((j + 1) * STRIP, h_total), 8)
+        c0 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(main, STRIP), :],
+            scratch.at[:, pl.ds(QHALO, STRIP), :], sem.at[0])
+        c1 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(top, QHALO), :],
+            scratch.at[:, pl.ds(0, QHALO), :], sem.at[1])
+        c2 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(bot, QHALO), :],
+            scratch.at[:, pl.ds(QHALO + STRIP, QHALO), :], sem.at[2])
+        c0.start(); c1.start(); c2.start()
+        c0.wait(); c1.wait(); c2.wait()
+
+        filters = _consts_q(chunk)[2]
+        kq = STRIP + 2 * QHALO
+        m = STRIP // 2
+        xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
+        lohi = jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        convs = []
+        for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            lo = lohi[ci * STRIP : ci * STRIP + m]
+            convs.append(_col_conv(lo, filters[ct][0]))
+        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk)
+        for ci in range(4):
+            o_ref[0, ci] = dec[ci * m : (ci + 1) * m]
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((4, STRIP + 2 * QHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_qshift_analysis_ll(ll4: jnp.ndarray, interpret: bool = False):
+    """f32 [B, 4, h, w] tree lowpasses -> [B, 4, h/2, w/2] next-level
+    lowpasses only."""
+    b, t, h0_, w0 = ll4.shape
+    if t != 4 or not kernel_eligible(h0_, w0):
+        raise ValueError(f"needs 4 trees and a kernel-eligible shape; got {ll4.shape}")
+    ll4 = _wrap_pad(ll4, h0_, w0)
+    _, _, h, w = ll4.shape
+    chunk = pick_chunk2(w)
+    rsel, s2, _ = _consts_q(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_q_ll, (h, chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4 * STRIP, 4 * (STRIP + 2 * QHALO)), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)
 
 
 @partial(jax.jit, static_argnames=("interpret",))

@@ -495,6 +495,65 @@ class Transform2d:
         return out
 
 
+    # -- single-level building blocks (codec hot path) ------------------------
+
+    def analysis_level1(self, x, lowpass_only: bool = False):
+        """[..., H, W] -> (planes, orig_size): [..., 16, h, w] raw planes, or
+        [..., 4, h, w] lowpasses when ``lowpass_only`` (4x less HBM write —
+        the mask channel never reads its level-1 subbands)."""
+        x = jnp.asarray(x, jnp.float32)
+        x, orig = _pad_even(x)
+        lead = x.shape[:-2]
+        h, w = x.shape[-2:]
+        mode = self._kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_level1 import (dtcwt_level1_analysis,
+                                                dtcwt_level1_analysis_ll)
+            fn = dtcwt_level1_analysis_ll if lowpass_only else dtcwt_level1_analysis
+            n = 4 if lowpass_only else 16
+            planes = fn(x.reshape(-1, h, w), interpret=mode)
+            return planes.reshape(*lead, n, h // 2, w // 2), orig
+        ll = {}
+        subs = {}
+        for rt, ct in _TREES:
+            l, lh, hl, hh = _analysis2d(x, C.LEGALL_H0, C.LEGALL_H1, rt, ct)
+            ll[(rt, ct)] = l
+            subs[(rt, ct)] = (lh, hl, hh)
+        if lowpass_only:
+            return jnp.stack([ll[tc] for tc in _TREES], axis=-3), orig
+        return self._pack_planes(ll, subs), orig
+
+    def analysis_qshift(self, ll4, lowpass_only: bool = False):
+        """[..., 4, h, w] tree lowpasses -> (planes, pre_pad_size): one
+        q-shift analysis level, [..., 16 or 4, h/2, w/2]."""
+        stack, lvl_sizes = _pad_even(jnp.asarray(ll4, jnp.float32))
+        lead = stack.shape[:-3]
+        h, w = stack.shape[-2:]
+        mode = self._kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_level1 import (dtcwt_qshift_analysis,
+                                                dtcwt_qshift_analysis_ll)
+            fn = dtcwt_qshift_analysis_ll if lowpass_only else dtcwt_qshift_analysis
+            n = 4 if lowpass_only else 16
+            planes = fn(stack.reshape(-1, 4, h, w), interpret=mode)
+            return planes.reshape(*lead, n, h // 2, w // 2), lvl_sizes
+        ll = {}
+        subs = {}
+        for ci, (rt, ct) in enumerate(_TREES):
+            xi = stack[..., ci, :, :]
+            h0r, h1r = (C.QSHIFT_H0A, C.QSHIFT_H1A) if rt == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+            h0c, h1c = (C.QSHIFT_H0A, C.QSHIFT_H1A) if ct == 0 else (C.QSHIFT_H0B, C.QSHIFT_H1B)
+            lo = _along_rows(down2, xi, h0r, 0)
+            ll[(rt, ct)] = down2(lo, h0c, 0)
+            if not lowpass_only:
+                hi = _along_rows(down2, xi, h1r, 0)
+                subs[(rt, ct)] = (down2(lo, h1c, 0), down2(hi, h0c, 0),
+                                  down2(hi, h1c, 0))
+        if lowpass_only:
+            return jnp.stack([ll[tc] for tc in _TREES], axis=-3), lvl_sizes
+        return self._pack_planes(ll, subs), lvl_sizes
+
+
 def q2c_planes(planes):
     """Raw [..., 16, h, w] -> complex subbands [..., h, w, 6]
     (band order [LH+, LH-, HL+, HL-, HH+, HH-], matching Pyramid)."""

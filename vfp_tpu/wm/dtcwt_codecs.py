@@ -133,33 +133,80 @@ class _DtcwtBase:
         """Same math as _embed_channel in the raw tree domain: the embed
         delta alpha*mask*wm is independent of the level-3 coefficients, so
         it is c2q-mapped once on the level-3 grid and ADDED to the raw U
-        planes — levels 1/2 never round-trip through q2c."""
+        planes — levels 1/2 never round-trip through q2c.  Per-channel
+        level plan (nlevels=3): U needs the full pyramid (it is inverted);
+        Y only feeds the masks, so it runs lowpass-only at level 1, joins U
+        for the full level 2, and skips level 3 entirely."""
+        if self.nlevels != 3:
+            return self._embed_channel_raw_generic(y, u, wm_hp)
         b = y.shape[0]
-        t, planes, sizes = self._joint_forward_raw(y, u)
-        h3 = planes[self.nlevels - 1]
-        shape3 = (h3.shape[-2], h3.shape[-1])
-        masks = self._masks3_from_mags(
-            q2c_magnitudes(planes[1][:b]), shape3)  # [B, h3, w3, 6]
+        t = Transform2d()
+        u_p1, s0 = t.analysis_level1(u)
+        y_ll1, _ = t.analysis_level1(y, lowpass_only=True)
+        joint_ll = jnp.concatenate([y_ll1, u_p1[..., :4, :, :]], axis=0)
+        p2, s1 = t.analysis_qshift(joint_ll)
+        u_p2 = p2[b:]
+        u_p3, s2 = t.analysis_qshift(u_p2[..., :4, :, :])
+        shape3 = (u_p3.shape[-2], u_p3.shape[-1])
+        masks = self._masks3_from_mags(q2c_magnitudes(p2[:b]), shape3)
         wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
         wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
         delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
         dsubs = c2q_subs(delta6)  # [B, 12, h3, w3]
+        u_p3_new = jnp.concatenate([u_p3[:, :4], u_p3[:, 4:] + dsubs], axis=-3)
+        return t.inverse_raw([u_p1, u_p2, u_p3_new], [s0, s1, s2])
+
+    def _decode_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """Decode needs only: Y level-2 subbands (masks) and U level-3
+        subbands (coefficients) — every other analysis level runs
+        lowpass-only."""
+        if self.nlevels != 3:
+            return self._decode_channel_raw_generic(y, u)
+        b = y.shape[0]
+        t = Transform2d()
+        ll1, _ = t.analysis_level1(jnp.concatenate([y, u], axis=0),
+                                   lowpass_only=True)
+        y_p2, _ = t.analysis_qshift(ll1[:b])
+        u_ll2, _ = t.analysis_qshift(ll1[b:], lowpass_only=True)
+        u_p3, _ = t.analysis_qshift(u_ll2)
+        shape3 = (u_p3.shape[-2], u_p3.shape[-1])
+        masks = self._masks3_from_mags(q2c_magnitudes(y_p2), shape3,
+                                       zero_guard=True)
+        coeff = q2c_planes(u_p3) / masks.astype(jnp.complex64) / self.alpha
+        hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
+        folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
+        folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
+        zero_ll = jnp.zeros((u.shape[0], 4, hh, ww), jnp.float32)
+        level1 = jnp.concatenate([zero_ll, c2q_subs(folded)], axis=-3)
+        return t.inverse_raw([level1], sizes=None)
+
+    def _embed_channel_raw_generic(self, y, u, wm_hp):
+        """nlevels != 3 fallback: full joint raw pyramid, no level skipping."""
+        b = y.shape[0]
+        t, planes, sizes = self._joint_forward_raw(y, u)
+        h3 = planes[self.nlevels - 1]
+        shape3 = (h3.shape[-2], h3.shape[-1])
+        masks = self._masks3_from_mags(q2c_magnitudes(planes[1][:b]), shape3)
+        wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
+        wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]
+        delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
+        dsubs = c2q_subs(delta6)
         u_planes = [p[b:] for p in planes]
         u_planes[self.nlevels - 1] = jnp.concatenate(
             [h3[b:, :4], h3[b:, 4:] + dsubs], axis=-3)
         return t.inverse_raw(u_planes, sizes)
 
-    def _decode_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+    def _decode_channel_raw_generic(self, y, u):
         b = y.shape[0]
         t, planes, sizes = self._joint_forward_raw(y, u)
         h3 = planes[self.nlevels - 1]
         shape3 = (h3.shape[-2], h3.shape[-1])
-        masks = self._masks3_from_mags(
-            q2c_magnitudes(planes[1][:b]), shape3, zero_guard=True)
+        masks = self._masks3_from_mags(q2c_magnitudes(planes[1][:b]), shape3,
+                                       zero_guard=True)
         coeff = q2c_planes(h3[b:]) / masks.astype(jnp.complex64) / self.alpha
         hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
         folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
-        folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
+        folded = jnp.moveaxis(folded, 1, -1)
         zero_ll = jnp.zeros((u.shape[0], 4, hh, ww), jnp.float32)
         level1 = jnp.concatenate([zero_ll, c2q_subs(folded)], axis=-3)
         return t.inverse_raw([level1], sizes=None)
