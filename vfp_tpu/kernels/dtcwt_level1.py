@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import dtcwt_coeffs as C
 
-STRIP = 32
+STRIP = 64  # rows per grid cell; larger cells amortize per-cell DMA/dispatch overhead
 HALO = 8
 MARGIN = 16  # circular top/left margin; covers L-1 = 13 for the q-shift pair
 

@@ -20,8 +20,8 @@ crop to the pre-pad size) is one fused XLA op in the wrapper.
 Index algebra (matches ops/dtcwt.py up2/_synthesis2d exactly):
   out[r] = x[(r - roll) mod 2h],  x[n] = sum_k f[k] y2[n - k],
   y2[2j + rp] = y[j]  =>  out[r] = sum f[k] y[j], 2j = r - roll - rp - k.
-Rows: j spans [16g - 1, 16g + 22] for output strip g, so the DMA window is
-input rows [16g - 8, 16g + 24) (3 circular copies).  Columns: j = t - d with
+Rows: for output strip g the DMA window is input rows
+[SROWS*g - 8, SROWS*g + SROWS + 8) (3 circular copies).  Columns: j = t - d with
 d = (cp - p + k)/2 >= 0 for every tap, i.e. the polyphase conv only reads to
 the LEFT -- a 8-column wrapped left margin makes any 128-unaligned width
 exact, same trick as the analysis kernels.
@@ -44,7 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops import dtcwt_coeffs as C
 from .dtcwt_level1 import RollCache, dot_exact, exact_or_scaled
 
-SHALO = 8  # input-row halo (top and bottom) around the 16 rows per strip
+SHALO = 8  # input-row halo (top and bottom) around the strip's input rows
+SROWS = 32  # input rows per grid cell (out rows = 2*SROWS); larger cells
+# amortize per-cell DMA/dispatch overhead
 SMARGIN_W = 8  # wrapped left margin (columns); covers max roll d = 6
 _TREES = ((0, 0), (0, 1), (1, 0), (1, 1))
 
@@ -54,11 +56,11 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _row_matrix(f, roll: int, rp: int) -> np.ndarray:
-    """[32, 32] scatter: out_strip_row r <- sum_k f[k] y[j_loc],
-    k = r - roll - rp - 2*(j_loc - SHALO) - 32*g + 32*g (strip-invariant)."""
-    r_mat = np.zeros((32, 32), np.float32)
-    for r in range(32):
-        for j_loc in range(32):
+    """[2*SROWS, SROWS + 2*SHALO] scatter: out_strip_row r <- sum_k f[k]
+    y[j_loc], k = r - roll - rp - 2*(j_loc - SHALO) (strip-invariant)."""
+    r_mat = np.zeros((2 * SROWS, SROWS + 2 * SHALO), np.float32)
+    for r in range(2 * SROWS):
+        for j_loc in range(SROWS + 2 * SHALO):
             k = r - roll - rp - 2 * (j_loc - SHALO)
             if 0 <= k < len(f) and (r - roll - rp - k) % 2 == 0:
                 r_mat[r, j_loc] = f[k]
@@ -104,26 +106,26 @@ def _poly_col_sum(pairs):
 
 
 def _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx):
-    """Copy input rows [16g - 8, 16g + 24) (circular) of all planes."""
-    main = pl.multiple_of(16 * g, 8)
-    top = pl.multiple_of(jax.lax.rem(16 * g - SHALO + hp, hp), 8)
-    bot = pl.multiple_of(jax.lax.rem(16 * g + 16, hp), 8)
+    """Copy input rows [SROWS*g - 8, SROWS*g + SROWS + 8) (circular)."""
+    main = pl.multiple_of(SROWS * g, 8)
+    top = pl.multiple_of(jax.lax.rem(SROWS * g - SHALO + hp, hp), 8)
+    bot = pl.multiple_of(jax.lax.rem(SROWS * g + SROWS, hp), 8)
     src = x_hbm.at[b] if planes_idx else x_hbm
     c0 = pltpu.make_async_copy(
-        src.at[:, pl.ds(main, 16), :], scratch.at[:, pl.ds(SHALO, 16), :], sem.at[0])
+        src.at[:, pl.ds(main, SROWS), :], scratch.at[:, pl.ds(SHALO, SROWS), :], sem.at[0])
     c1 = pltpu.make_async_copy(
         src.at[:, pl.ds(top, SHALO), :], scratch.at[:, pl.ds(0, SHALO), :], sem.at[1])
     c2 = pltpu.make_async_copy(
-        src.at[:, pl.ds(bot, SHALO), :], scratch.at[:, pl.ds(SHALO + 16, SHALO), :],
+        src.at[:, pl.ds(bot, SHALO), :], scratch.at[:, pl.ds(SHALO + SROWS, SHALO), :],
         sem.at[2])
     c0.start(); c1.start(); c2.start()
     c0.wait(); c1.wait(); c2.wait()
 
 
 def _bd4(a: np.ndarray) -> np.ndarray:
-    """kron(I4, a): the same [32, 32] row matrix applied to four planes
-    stacked on sublanes becomes ONE full-tile [128, 128] matmul instead of
-    four 6%-utilized [32, 32] ones."""
+    """kron(I4, a): the same row matrix applied to four planes stacked on
+    sublanes becomes ONE full-M-tile block-diagonal matmul instead of four
+    low-utilization small ones."""
     return np.kron(np.eye(4, dtype=np.float32), np.asarray(a, np.float32))
 
 
@@ -166,7 +168,7 @@ def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST))
             for k, (band, ci) in enumerate(planes):
-                rrows[(band, ci)] = res[32 * k : 32 * (k + 1)]
+                rrows[(band, ci)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
         for ci, (rt, ct) in enumerate(_TREES):
             for p in range(2):
                 # the 4 band terms accumulate into one output: sum-then-roll
@@ -177,7 +179,7 @@ def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((16, 16 + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        scratch=pltpu.VMEM((16, SROWS + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((3,)),
     )
 
@@ -218,7 +220,7 @@ def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
                            preferred_element_type=jnp.float32,
                            precision=jax.lax.Precision.HIGHEST))
             for k, (band, ci) in enumerate(planes):
-                rrows[(band, ci)] = res[32 * k : 32 * (k + 1)]
+                rrows[(band, ci)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
         for p in range(2):
             # every (band, ci) term feeds ONE accumulated output, so the
             # sum-then-roll identity collapses 64 lane rolls to <= ~5
@@ -231,7 +233,7 @@ def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
 
     pl.run_scoped(
         body,
-        scratch=pltpu.VMEM((16, 16 + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        scratch=pltpu.VMEM((16, SROWS + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
         sem=pltpu.SemaphoreType.DMA((3,)),
     )
 
@@ -241,12 +243,12 @@ def synthesis_eligible(h: int, w: int) -> bool:
     each pad side <= the dim; see kernel_eligible in dtcwt_level1.py)."""
     return (h >= 32 and w >= 64
             and _round_up(w + SMARGIN_W, 128) - w - SMARGIN_W <= w
-            and _round_up(h + 2 * SHALO, 16) - h - SHALO <= h)
+            and _round_up(h + 2 * SHALO, SROWS) - h - SHALO <= h)
 
 
 def _prep(planes, h, w):
     """Wrap-pad planes [..., h, w] for strip/lane alignment."""
-    hp = _round_up(h + 2 * SHALO, 16)
+    hp = _round_up(h + 2 * SHALO, SROWS)
     wp = _round_up(w + SMARGIN_W, 128)
     pads = [(0, 0)] * (planes.ndim - 2) + [(SHALO, hp - h - SHALO),
                                            (SMARGIN_W, wp - w - SMARGIN_W)]
@@ -273,13 +275,13 @@ def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False):
     out = pl.pallas_call(
         partial(_kernel_syn_q, (hp,)),
         out_shape=jax.ShapeDtypeStruct((b, 4, 2, 2 * hp, wp), jnp.float32),
-        grid=(b, hp // 16),
+        grid=(b, hp // SROWS),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 8 * SROWS, 4 * (SROWS + 2 * SHALO)),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 4, 2, 32, wp), lambda i, j: (i, 0, 0, j, 0),
+        out_specs=pl.BlockSpec((1, 4, 2, 2 * SROWS, wp), lambda i, j: (i, 0, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, jnp.asarray(rmat))
@@ -298,13 +300,13 @@ def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False):
     out = pl.pallas_call(
         partial(_kernel_syn_l1, (hp,)),
         out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
-        grid=(b, hp // 16),
+        grid=(b, hp // SROWS),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((4, 128, 128), lambda i, j: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 8 * SROWS, 4 * (SROWS + 2 * SHALO)),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 2, 32, wp), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((1, 2, 2 * SROWS, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, jnp.asarray(rmat))
