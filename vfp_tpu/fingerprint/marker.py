@@ -82,15 +82,37 @@ def mark_segments(
     segment_copies: dict = {"segments": {}}
     generator = Shuffler(key=key)
 
-    for seg_idx, seg_file in enumerate(segments, start=first_segment_number):
-        todo = [
-            c for c in range(copies)
-            if not (resume and (marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}").exists())
-        ]
-        frames = fps = None
+    plans = [
+        (
+            seg_idx,
+            seg_file,
+            [
+                c for c in range(copies)
+                if not (resume
+                        and (marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}").exists())
+            ],
+        )
+        for seg_idx, seg_file in enumerate(segments, start=first_segment_number)
+    ]
+
+    # host pipeline: decode segment i+1 on a thread while segment i encodes,
+    # and keep one marked batch in flight on the device (submit/collect) so
+    # chip + link time hides under the host-side JPEG encode
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    decode_futs: dict = {}
+
+    def _prefetch(pi: int):
+        if pi < len(plans) and plans[pi][2] and plans[pi][0] not in decode_futs:
+            decode_futs[plans[pi][0]] = pool.submit(_read_all, plans[pi][1])
+
+    _prefetch(0)
+    for pi, (seg_idx, seg_file, todo) in enumerate(plans):
+        _prefetch(pi + 1)
         writers = {}
         if todo:  # segment-level resume: decode only when some copy is missing
-            frames, fps = _read_all(seg_file)  # decoded ONCE for all copies
+            frames, fps = decode_futs.pop(seg_idx).result()  # decoded ONCE
             h, w = frames.shape[1:3]
             # all missing variants marked in ONE vmapped call per batch
             wms = [
@@ -106,8 +128,16 @@ def mark_segments(
                 )
                 for c in todo
             }
+            pending = None
             for start in range(0, len(frames), batch_size):
-                out = mm.mark_all(frames[start : start + batch_size])
+                handle = mm.submit(frames[start : start + batch_size])
+                if pending is not None:
+                    out = mm.collect(pending)
+                    for vi, c in enumerate(todo):
+                        writers[c].write_batch(out[vi])
+                pending = handle
+            if pending is not None:
+                out = mm.collect(pending)
                 for vi, c in enumerate(todo):
                     writers[c].write_batch(out[vi])
             for wtr in writers.values():
@@ -129,6 +159,7 @@ def mark_segments(
             segment_payloads[f"{seg_idx}_{copy_index}"] = payload.tolist()
             logger.info("marked segment %d copy %d -> %s", seg_idx, copy_index, out_file)
         segment_copies["segments"][str(seg_idx)] = seg_entry
+    pool.shutdown(wait=False)
 
     segment_copies.update(
         {
