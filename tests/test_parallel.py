@@ -96,6 +96,37 @@ class TestSegmentFarm:
             fb = pathlib.Path(b.file).read_bytes()
             assert fa == fb, (a.file, b.file)
 
+    def test_distributed_single_process(self, tmp_path, rng):
+        """World-size-1 drive of the jax.distributed farm entry: rank 0
+        marks everything, writes its manifest shard, and the merged triple
+        matches the serial path's manifests."""
+        import json
+
+        from vfp_tpu.fingerprint import segment_video
+        from vfp_tpu.fingerprint.marker import mark_segments
+        from vfp_tpu.io import RawVideoWriter
+        from vfp_tpu.parallel.farm import mark_segments_distributed, merge_manifest_shards
+
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=18, h=64, w=96))
+        segs = segment_video(src, tmp_path / "segs", 1.0)
+
+        m1, p1, c1 = mark_segments(segs, tmp_path / "serial", copies=2, batch_size=8)
+        m2, p2, c2 = mark_segments_distributed(
+            segs, tmp_path / "dist", copies=2, batch_size=8
+        )
+        assert p2 == p1
+        assert c2["total_marked_segments"] == c1["total_marked_segments"]
+        assert [(m.segment_number, m.copy_index) for m in m2] == [
+            (m.segment_number, m.copy_index) for m in m1
+        ]
+        shard = json.loads((tmp_path / "dist" / "manifest_rank0.json").read_text())
+        assert shard["n_segments"] == len(segs)
+        # shard-merge helper reproduces the same triple from disk alone
+        m3, p3, c3 = merge_manifest_shards(tmp_path / "dist")
+        assert p3 == p2 and c3 == c2
+
 
 class TestSpatialSharding:
     def test_width_sharded_matches_unsharded(self, rng):

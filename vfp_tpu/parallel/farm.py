@@ -7,11 +7,11 @@ model is a work queue, not collectives (SURVEY.md §2.5):
 * single host, many cores/chips: ``mark_segments_parallel`` forks worker
   processes, each taking a contiguous slice of segments (each worker keeps
   the one-decode-for-all-copies property and its own jit cache).
-* many hosts: run one ``vfp_tpu.cli hls-mark --resume`` per host against a
-  shared filesystem — the per-segment outputs are idempotent and the resume
-  check makes overlapping work harmless; or initialize
-  ``jax.distributed.initialize()`` and shard the segment list by
-  ``jax.process_index()`` exactly like ``_slice`` below.
+* many hosts: ``mark_segments_distributed`` — ``jax.distributed`` rank
+  sharding over a shared filesystem.  Each process marks its contiguous
+  slice, writes a per-rank manifest shard, and rank 0 merges after a
+  cross-host barrier.  (Running one ``vfp_tpu.cli hls-mark --resume`` per
+  host works too: per-segment outputs are idempotent.)
 
 Workers run on CPU by default (JAX_PLATFORMS=cpu) so a farm can saturate
 host decode/encode while the main process owns the TPU; pass
@@ -101,3 +101,98 @@ def mark_segments_parallel(
         "total_marked_segments": len(marked),
     }
     return marked, payloads, segment_copies
+
+
+def merge_manifest_shards(shard_dir) -> tuple[list, dict, dict]:
+    """Merge per-rank manifest shards (``manifest_rank*.json``) into the
+    (marked, segment_payloads, segment_copies) triple of mark_segments."""
+    import json
+
+    from ..fingerprint.marker import MarkedSegment
+
+    marked: list = []
+    payloads: dict = {}
+    seg_entries: dict = {}
+    total_segments = 0
+    copies = 1
+    for f in sorted(Path(shard_dir).glob("manifest_rank*.json")):
+        shard = json.loads(f.read_text())
+        marked.extend(MarkedSegment(*m) for m in shard["marked"])
+        payloads.update(shard["payloads"])
+        seg_entries.update(shard["segments"])
+        total_segments += shard["n_segments"]
+        copies = shard["copies"]
+    marked.sort(key=lambda m: (m.segment_number, m.copy_index))
+    segment_copies = {
+        "segments": seg_entries,
+        "total_segments": total_segments,
+        "copies_per_segment": copies,
+        "total_marked_segments": len(marked),
+    }
+    return marked, payloads, segment_copies
+
+
+def mark_segments_distributed(
+    segments,
+    marked_dir,
+    copies: int = 1,
+    key: int = 0,
+    batch_size: int = 16,
+    quality: int = 95,
+    out_ext: str = ".avi",
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Multi-host segment farm over ``jax.distributed`` + a shared filesystem.
+
+    Every participating process calls this with the same arguments
+    (``marked_dir`` on a filesystem all hosts see).  Process ``i`` of ``N``
+    marks segments [ceil(S/N)*i, ceil(S/N)*(i+1)) — the same contiguous
+    ``_slice`` as the process farm — writes ``manifest_rank{i}.json``, and
+    after a global barrier rank 0 merges the shards and returns the full
+    (marked, payloads, segment_copies) triple; other ranks return their own
+    shard's triple.  Initialization follows jax.distributed semantics: with
+    no explicit arguments, cluster-autodetect / env vars apply; single
+    process (num_processes=1) needs no coordinator and is how the unit test
+    runs this path.
+    """
+    import json
+
+    import jax
+
+    if jax.process_count() == 1 and (num_processes or 1) > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    rank, world = jax.process_index(), jax.process_count()
+    segments = [str(s) for s in segments]
+    marked_dir = Path(marked_dir)
+    marked_dir.mkdir(parents=True, exist_ok=True)
+    lo, hi = _slice(len(segments), world, rank)
+
+    from ..fingerprint.marker import mark_segments
+
+    marked, payloads, copies_info = mark_segments(
+        segments[lo:hi], marked_dir, copies=copies, key=key,
+        batch_size=batch_size, quality=quality, out_ext=out_ext, resume=True,
+        first_segment_number=lo,
+    )
+    shard = {
+        "marked": [[m.file, m.segment_number, m.copy_index, m.payload] for m in marked],
+        "payloads": payloads,
+        "segments": copies_info["segments"],
+        "n_segments": hi - lo,
+        "copies": copies,
+    }
+    (marked_dir / f"manifest_rank{rank}.json").write_text(json.dumps(shard))
+
+    if world > 1:  # cross-host barrier before the merge reads all shards
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("vfp_farm_shards")
+    if rank == 0:
+        return merge_manifest_shards(marked_dir)
+    return marked, payloads, copies_info
