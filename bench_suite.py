@@ -306,6 +306,16 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
+    # pre-pay the relay's per-process first-fetch cost (observed 5 s to 20+
+    # minutes under load) so it doesn't land inside the first config's wall
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8, 8), jnp.float32)))
+    print(f"link warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+
     report = {}
     for name, fn in [
         ("roundtrip_480p", bench_roundtrip_480p),
