@@ -46,12 +46,15 @@ def measure_cpu_baseline() -> float:
     return 1.0 / dt
 
 
-def measure_tpu(batch: int = 32, iters: int = 4) -> float:
+def measure_tpu(batch: int = 32, iters: int = 96) -> float:
     """Steady-state embed fps via an on-device loop + scalar checksum fetch.
 
     (block_until_ready is unreliable over the axon tunnel and full-frame
     host transfers are tunnel-bound; chaining iterations on device and
-    fetching one scalar measures pure chip throughput.)
+    fetching one scalar measures pure chip throughput.  The relay adds
+    ~25 ms per *call*, so iters must be large enough to amortize it:
+    measured 2480 fps at iters=4 vs 6600 at iters=48 for the SAME kernel —
+    at iters=96 the call overhead is ~2% of the loop.)
     """
     from functools import partial
 
