@@ -80,25 +80,34 @@ def _consts8(chunk: int):
     return s, st, kp, basis
 
 
-def _block_dct(chan, s_ref, k_ref, br, n_chunks, chunk):
-    """chan [STRIP, W] -> DCT coeffs [64, nbw] of block-row br.
+def _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk):
+    """Both channels' [STRIP, W] -> DCT coeffs [64, nbw] per (chan, br).
 
-    Rows are assembled c-major ([c*8+r]) with one [8, chunk] x [chunk, nb]
-    selection matmul per (c, chunk); k_ref has the r-major permutation
-    folded in, so the output is standard [r*8+c]-ordered coefficients.
+    All 8 (channel x block-row) tiles share ONE stacked [64, chunk] selection
+    matmul per (c, chunk) — the per-(chan, br) M=8 formulation ran 8x more
+    matmul invocations at 1/8 the row fill and dominated the kernel.  The
+    8-row groups then concat c-major (8-aligned sublane slices) and k_ref
+    (with the r-major permutation folded in) gives [r*8+c]-ordered
+    coefficients per tile.
     """
-    y8 = chan[8 * br : 8 * br + 8, :]  # [8, W]
-    rows = []
+    yu = jnp.concatenate([yp, up], axis=0)  # [64, W]; row chan*32 + br*8 + r
+    sel = []
     for c in range(8):
         segs = [
-            jnp.dot(y8[:, l * chunk : (l + 1) * chunk], s_ref[c],
+            jnp.dot(yu[:, l * chunk : (l + 1) * chunk], s_ref[c],
                     preferred_element_type=jnp.float32)
             for l in range(n_chunks)
         ]
-        rows.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
-    m = jnp.concatenate(rows, axis=0)  # [64, nbw] c-major spatial
-    return jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+        sel.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
+    out = {}
+    for chan in range(2):
+        for br in range(4):
+            base = chan * 32 + br * 8
+            m = jnp.concatenate([sel[c][base : base + 8, :] for c in range(8)],
+                                axis=0)  # [64, nbw] c-major spatial
+            out[(chan, br)] = jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32,
+                                      precision=jax.lax.Precision.HIGHEST)
+    return out
 
 
 def _masks_from_y(yd):
@@ -153,38 +162,43 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
     yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
     up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
 
-    du_rows = []
     wm = wm_ref[0]  # [4, nbw]
     # zero the QIM amplitude outside the true block grid: all-zero padded
     # block columns make the perceptual masks 0/0 = NaN, which would poison
     # every lane through the scatter matmuls below
     bcol = jax.lax.broadcasted_iota(jnp.int32, (1, nbw), 1)
+    dct = _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk)
+    amps = []
     for br in range(4):
-        yd = _block_dct(yp, s_ref, k_ref, br, n_chunks, chunk)
-        ud = _block_dct(up, s_ref, k_ref, br, n_chunks, chunk)
-        dc, tex = _masks_from_y(yd)
+        dc, tex = _masks_from_y(dct[(0, br)])
         mask = tex * _lum_mask(dc, mean)
         step = alpha * mask
         step2 = step + step
-        v = ud[17:18, :]  # coefficient [2][1]
+        v = dct[(1, br)][17:18, :]  # coefficient [2][1]
         base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
         v_new = jnp.where(wm[br : br + 1, :] == 0.0, base, base + jnp.sign(v) * step)
-        amp = jnp.where((bcol < nbw_real) & (j * 4 + br < nbh), v_new - v, 0.0)
-        # spatial delta rows: du8[r] = sum_c P[r, c] * (amp @ S_c^T)
-        amp_sc = []
-        for c in range(8):
-            outs = [
-                jnp.dot(amp[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
-                        preferred_element_type=jnp.float32)
-                for l in range(n_chunks)
-            ]
-            amp_sc.append(outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1))
-        for r in range(8):
-            acc = amp_sc[0] * b_ref[r, 0]
-            for c in range(1, 8):
-                acc = acc + amp_sc[c] * b_ref[r, c]
-            du_rows.append(acc)
-    du = jnp.concatenate(du_rows, axis=0)  # [STRIP, W]
+        amps.append(jnp.where((bcol < nbw_real) & (j * 4 + br < nbh), v_new - v, 0.0))
+    # scatter-back: all four block-rows' amplitudes ride each selection
+    # matmul (M=4) and the 8x8 IDCT basis combine runs on [4, W] operands
+    # (same vreg count as [1, W] — sublane packing makes the 4 rows free)
+    amp4 = jnp.concatenate(amps, axis=0)  # [4, nbw], row br
+    amp_sc = []
+    for c in range(8):
+        outs = [
+            jnp.dot(amp4[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
+                    preferred_element_type=jnp.float32)
+            for l in range(n_chunks)
+        ]
+        amp_sc.append(outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1))
+    du_rows = []
+    for r in range(8):
+        acc = amp_sc[0] * b_ref[r, 0]
+        for c in range(1, 8):
+            acc = acc + amp_sc[c] * b_ref[r, c]
+        du_rows.append(acc)  # [4, W]: row br holds du8[br][r]
+    du = jnp.concatenate(
+        [du_rows[r][br : br + 1, :] for br in range(4) for r in range(8)], axis=0
+    )  # [STRIP, W]
 
     yuv = [yp, up + du,
            M_FWD[2, 0] * x[0] + M_FWD[2, 1] * x[1] + M_FWD[2, 2] * x[2] + OFF_FWD[2]]
@@ -207,14 +221,13 @@ def _decode_kernel(static, x_ref, mean_ref, s_ref, k_ref, o_ref):
     mean = mean_ref[pl.program_id(0), 0]
     yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
     up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
+    dct = _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk)
     bits = []
     for br in range(4):
-        yd = _block_dct(yp, s_ref, k_ref, br, n_chunks, chunk)
-        ud = _block_dct(up, s_ref, k_ref, br, n_chunks, chunk)
-        dc, tex = _masks_from_y(yd)
+        dc, tex = _masks_from_y(dct[(0, br)])
         step = alpha * tex * _lum_mask(dc, mean)
         bits.append(
-            (jnp.mod(jnp.round(ud[17:18, :] / step), 2.0) == 1.0).astype(jnp.float32)
+            (jnp.mod(jnp.round(dct[(1, br)][17:18, :] / step), 2.0) == 1.0).astype(jnp.float32)
         )
     o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [4, nbw]
 
