@@ -176,4 +176,9 @@ class TestShardedDtcwt:
         out = np.asarray(step(jnp.asarray(frames), jnp.asarray(wms)))
         for v in range(2):
             want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wms[v])))
-            np.testing.assert_array_equal(out[v], want)
+            # float synthesis order differs under shard_map fusion, so a
+            # pixel sitting exactly on a round-to-u8 boundary may flip by 1
+            # (the flagship TP test stays bit-exact; DT-CWT is float-valued)
+            diff = out[v].astype(np.int32) - want.astype(np.int32)
+            assert np.abs(diff).max() <= 1
+            assert (diff != 0).mean() < 1e-3, (diff != 0).mean()

@@ -311,3 +311,144 @@ def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False):
         interpret=interpret,
     )(planes, jnp.asarray(rmat))
     return _finish(out, h, w, C.LEGALL_ROLL)
+
+
+# -- lowpass-only synthesis (delta-pyramid embed path) -----------------------
+# The codecs' embed delta lives entirely in the deepest level's highpasses,
+# so by linearity the inverse of the delta pyramid runs every shallower
+# level with ZERO highpasses: only the 4 tree lowpasses carry signal and the
+# g1 filter banks drop out — 1/4 the input, 1/2 the row matmuls, 1/4 the
+# column taps of the full kernels.
+
+
+@lru_cache(maxsize=None)
+def _consts_syn_q_ll():
+    g = {0: np.asarray(C.QSHIFT_G0A), 1: np.asarray(C.QSHIFT_G0B)}
+    roll = C.QSHIFT_ROLL_A
+    # group rt -> kron(I2, row_matrix): its 2 planes are ci in {2rt, 2rt+1}
+    rmat = np.stack([
+        np.kron(np.eye(2, dtype=np.float32),
+                _row_matrix(g[rt], roll, 0)) for rt in range(2)])
+    taps = {(t, p): _col_taps(g[t], 0, p) for t in range(2) for p in range(2)}
+    rmat, scale = exact_or_scaled(rmat)
+    return rmat, taps, scale
+
+
+def _kernel_syn_q_ll(static, x_hbm, rmat_ref, o_ref):
+    (hp,) = static
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    def body(scratch, sem):
+        _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
+        _, taps, scale = _consts_syn_q_ll()
+        for rt in range(2):
+            stackx = jnp.concatenate([scratch[2 * rt], scratch[2 * rt + 1]], axis=0)
+            res = (dot_exact(rmat_ref[rt], stackx, exact_side="left") * scale
+                   if scale is not None else
+                   jnp.dot(rmat_ref[rt], stackx,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            for k in range(2):
+                ci = 2 * rt + k
+                ct = _TREES[ci][1]
+                rows = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
+                for p in range(2):
+                    o_ref[0, ci, p] = _poly_col(rows, taps[(ct, p)])
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((4, SROWS + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@lru_cache(maxsize=None)
+def _consts_syn_l1_ll():
+    g0 = np.asarray(C.LEGALL_G0)
+    roll = C.LEGALL_ROLL
+    rmat = np.stack([
+        np.kron(np.eye(2, dtype=np.float32),
+                _row_matrix(g0, roll, rt)) for rt in range(2)])
+    taps = {(ct, p): _col_taps(g0, ct, p) for ct in range(2) for p in range(2)}
+    rmat, scale = exact_or_scaled(rmat)
+    return rmat, taps, scale
+
+
+def _kernel_syn_l1_ll(static, x_hbm, rmat_ref, o_ref):
+    (hp,) = static
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    def body(scratch, sem):
+        _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
+        _, taps, scale = _consts_syn_l1_ll()
+        rrows = {}
+        for rt in range(2):
+            stackx = jnp.concatenate([scratch[2 * rt], scratch[2 * rt + 1]], axis=0)
+            res = (dot_exact(rmat_ref[rt], stackx, exact_side="left") * scale
+                   if scale is not None else
+                   jnp.dot(rmat_ref[rt], stackx,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            for k in range(2):
+                rrows[2 * rt + k] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
+        for p in range(2):
+            pairs = [(rrows[ci], taps[(ct, p)]) for ci, (rt, ct) in enumerate(_TREES)]
+            o_ref[0, p] = _poly_col_sum(pairs) * 0.25
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((4, SROWS + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_qshift_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
+    """[B, 4, h, w] tree lowpasses (highpasses all zero) -> [B, 4, 2h, 2w]
+    tree lowpasses of the level below, BEFORE per-level cropping."""
+    b, t, h, w = ll4.shape
+    if t != 4 or not synthesis_eligible(h, w):
+        raise ValueError(f"needs 4 planes and an eligible shape; got {ll4.shape}")
+    ll4, hp, wp = _prep(ll4, h, w)
+    rmat, _, _ = _consts_syn_q_ll()
+    out = pl.pallas_call(
+        partial(_kernel_syn_q_ll, (hp,)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, 2, 2 * hp, wp), jnp.float32),
+        grid=(b, hp // SROWS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 4 * SROWS, 2 * (SROWS + 2 * SHALO)),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, 2, 2 * SROWS, wp), lambda i, j: (i, 0, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4, jnp.asarray(rmat))
+    return _finish(out, h, w, C.QSHIFT_ROLL_A)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_legall_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
+    """[B, 4, h, w] level-1 tree lowpasses (highpasses all zero) ->
+    [B, 2h, 2w] reconstruction (4-tree average), BEFORE final cropping."""
+    b, t, h, w = ll4.shape
+    if t != 4 or not synthesis_eligible(h, w):
+        raise ValueError(f"needs 4 planes and an eligible shape; got {ll4.shape}")
+    ll4, hp, wp = _prep(ll4, h, w)
+    rmat, _, _ = _consts_syn_l1_ll()
+    out = pl.pallas_call(
+        partial(_kernel_syn_l1_ll, (hp,)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
+        grid=(b, hp // SROWS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 4 * SROWS, 2 * (SROWS + 2 * SHALO)),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 2 * SROWS, wp), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4, jnp.asarray(rmat))
+    return _finish(out, h, w, C.LEGALL_ROLL)

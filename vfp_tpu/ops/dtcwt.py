@@ -553,6 +553,74 @@ class Transform2d:
             return jnp.stack([ll[tc] for tc in _TREES], axis=-3), lvl_sizes
         return self._pack_planes(ll, subs), lvl_sizes
 
+    def synthesis_qshift(self, planes16):
+        """[..., 16, h, w] raw planes -> [..., 4, 2h, 2w] tree lowpasses of
+        the level below (one q-shift synthesis level, before cropping)."""
+        lead = planes16.shape[:-3]
+        h, w = planes16.shape[-2:]
+        mode = self._syn_kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis
+            return dtcwt_qshift_synthesis(
+                planes16.reshape(-1, 16, h, w), interpret=mode
+            ).reshape(*lead, 4, 2 * h, 2 * w)
+        ll, subs = self._unpack_planes(planes16)
+        outs = []
+        for rt, ct in _TREES:
+            lh, hl, hh = subs[(rt, ct)]
+            g0r, g1r = (C.QSHIFT_G0A, C.QSHIFT_G1A) if rt == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
+            g0c, g1c = (C.QSHIFT_G0A, C.QSHIFT_G1A) if ct == 0 else (C.QSHIFT_G0B, C.QSHIFT_G1B)
+            rr = C.QSHIFT_ROLL_A if rt == 0 else C.QSHIFT_ROLL_B
+            rc = C.QSHIFT_ROLL_A if ct == 0 else C.QSHIFT_ROLL_B
+            lo = up2(ll[(rt, ct)], g0c, 0) + up2(lh, g1c, 0)
+            hi = up2(hl, g0c, 0) + up2(hh, g1c, 0)
+            lo = jnp.roll(lo, rc, axis=-1)
+            hi = jnp.roll(hi, rc, axis=-1)
+            xx = _along_rows(up2, lo, g0r, 0) + _along_rows(up2, hi, g1r, 0)
+            outs.append(jnp.roll(xx, rr, axis=-2))
+        return jnp.stack(outs, axis=-3)
+
+    def synthesis_qshift_ll(self, ll4):
+        """Lowpass-only q-shift synthesis: [..., 4, h, w] tree lowpasses
+        (all highpasses zero, e.g. a delta pyramid above the modified level)
+        -> [..., 4, 2h, 2w].  1/4 the work of synthesis_qshift."""
+        lead = ll4.shape[:-3]
+        h, w = ll4.shape[-2:]
+        mode = self._syn_kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis_ll
+            return dtcwt_qshift_synthesis_ll(
+                ll4.reshape(-1, 4, h, w), interpret=mode
+            ).reshape(*lead, 4, 2 * h, 2 * w)
+        outs = []
+        for ci, (rt, ct) in enumerate(_TREES):
+            g0r = C.QSHIFT_G0A if rt == 0 else C.QSHIFT_G0B
+            g0c = C.QSHIFT_G0A if ct == 0 else C.QSHIFT_G0B
+            rr = C.QSHIFT_ROLL_A if rt == 0 else C.QSHIFT_ROLL_B
+            rc = C.QSHIFT_ROLL_A if ct == 0 else C.QSHIFT_ROLL_B
+            lo = jnp.roll(up2(ll4[..., ci, :, :], g0c, 0), rc, axis=-1)
+            outs.append(jnp.roll(_along_rows(up2, lo, g0r, 0), rr, axis=-2))
+        return jnp.stack(outs, axis=-3)
+
+    def synthesis_legall_ll(self, ll4):
+        """Lowpass-only LeGall level-1 synthesis: [..., 4, h, w] tree
+        lowpasses -> [..., 2h, 2w] (4-tree average)."""
+        lead = ll4.shape[:-3]
+        h, w = ll4.shape[-2:]
+        mode = self._syn_kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis_ll
+            return dtcwt_legall_synthesis_ll(
+                ll4.reshape(-1, 4, h, w), interpret=mode
+            ).reshape(*lead, 2 * h, 2 * w)
+        out = 0.0
+        for ci, (rt, ct) in enumerate(_TREES):
+            li = ll4[..., ci, :, :]
+            z = jnp.zeros_like(li)
+            out = out + _synthesis2d(li, z, z, z, C.LEGALL_G0, C.LEGALL_G1,
+                                     rt, ct, C.LEGALL_ROLL, C.LEGALL_ROLL)
+        return out * 0.25
+
 
 def q2c_planes(planes):
     """Raw [..., 16, h, w] -> complex subbands [..., h, w, 6]

@@ -130,31 +130,37 @@ class _DtcwtBase:
     # -- raw-domain embed/decode (the TPU hot path) ---------------------------
     def _embed_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray,
                            wm_hp: jnp.ndarray) -> jnp.ndarray:
-        """Same math as _embed_channel in the raw tree domain: the embed
-        delta alpha*mask*wm is independent of the level-3 coefficients, so
-        it is c2q-mapped once on the level-3 grid and ADDED to the raw U
-        planes — levels 1/2 never round-trip through q2c.  Per-channel
-        level plan (nlevels=3): U needs the full pyramid (it is inverted);
-        Y only feeds the masks, so it runs lowpass-only at level 1, joins U
-        for the full level 2, and skips level 3 entirely."""
+        """Same math as _embed_channel in the raw tree domain, via DELTA
+        synthesis: the embed delta alpha*mask*wm is independent of the U
+        coefficients, and the transform is linear, so
+
+          marked = inverse(forward(u) + delta_pyr) = u + inverse(delta_pyr)
+
+        (exactly, minus the forward/inverse PR error ~2e-7 the full path
+        carried).  U is never analyzed at all; the delta pyramid is zero
+        everywhere except the level-3 highpasses, so levels 2/1 synthesize
+        lowpass-only (4 of 16 planes).  Y runs lowpass-only at level 1 and
+        a full level 2 for the masks; level 3 exists only as grid geometry."""
         if self.nlevels != 3:
             return self._embed_channel_raw_generic(y, u, wm_hp)
-        b = y.shape[0]
         t = Transform2d()
-        u_p1, s0 = t.analysis_level1(u)
-        y_ll1, _ = t.analysis_level1(y, lowpass_only=True)
-        joint_ll = jnp.concatenate([y_ll1, u_p1[..., :4, :, :]], axis=0)
-        p2, s1 = t.analysis_qshift(joint_ll)
-        u_p2 = p2[b:]
-        u_p3, s2 = t.analysis_qshift(u_p2[..., :4, :, :])
-        shape3 = (u_p3.shape[-2], u_p3.shape[-1])
-        masks = self._masks3_from_mags(q2c_magnitudes(p2[:b]), shape3)
+        y_ll1, s0 = t.analysis_level1(y, lowpass_only=True)
+        y_p2, s1 = t.analysis_qshift(y_ll1)
+        h2, w2 = y_p2.shape[-2], y_p2.shape[-1]
+        # level-3 grid geometry (_pad_even rules), without running level 3
+        shape3 = ((h2 + 1) // 2, (w2 + 1) // 2)
+        masks = self._masks3_from_mags(q2c_magnitudes(y_p2), shape3)
         wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
         wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
         delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
         dsubs = c2q_subs(delta6)  # [B, 12, h3, w3]
-        u_p3_new = jnp.concatenate([u_p3[:, :4], u_p3[:, 4:] + dsubs], axis=-3)
-        return t.inverse_raw([u_p1, u_p2, u_p3_new], [s0, s1, s2])
+        d3 = jnp.concatenate(
+            [jnp.zeros(dsubs.shape[:-3] + (4,) + dsubs.shape[-2:], dsubs.dtype),
+             dsubs], axis=-3)
+        dll2 = t.synthesis_qshift(d3)[..., :h2, :w2]
+        dll1 = t.synthesis_qshift_ll(dll2)[..., : s1[0], : s1[1]]
+        du = t.synthesis_legall_ll(dll1)[..., : s0[0], : s0[1]]
+        return u + du
 
     def _decode_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """Decode needs only: Y level-2 subbands (masks) and U level-3
