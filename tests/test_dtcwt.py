@@ -148,3 +148,63 @@ class TestDtcwtRobustness:
             if corr > 0.1:
                 ok += 1
         assert ok == 2, ok
+
+
+class TestLowpassOnlySynthesis:
+    """Delta-pyramid embed path: lowpass-only synthesis kernels must equal
+    the full kernels fed zero highpasses (the linearity the embed relies on)."""
+
+    def test_kernels_match_full_with_zero_highpasses(self, rng):
+        from vfp_tpu.kernels.dtcwt_synthesis import (
+            dtcwt_legall_synthesis, dtcwt_legall_synthesis_ll,
+            dtcwt_qshift_synthesis, dtcwt_qshift_synthesis_ll)
+
+        for h, w in ((64, 128), (66, 150)):
+            ll4 = jnp.asarray(rng.rand(2, 4, h, w), jnp.float32)
+            full = jnp.concatenate([ll4, jnp.zeros((2, 12, h, w), jnp.float32)], axis=1)
+            np.testing.assert_allclose(
+                np.asarray(dtcwt_qshift_synthesis_ll(ll4, interpret=True)),
+                np.asarray(dtcwt_qshift_synthesis(full, interpret=True)), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(dtcwt_legall_synthesis_ll(ll4, interpret=True)),
+                np.asarray(dtcwt_legall_synthesis(full, interpret=True)), atol=1e-5)
+
+    def test_xla_methods_match_kernels(self, rng):
+        from vfp_tpu.ops.dtcwt import Transform2d
+
+    # XLA fallback (small shapes route off-kernel) vs interpret kernels
+        t = Transform2d()
+        ll4 = jnp.asarray(rng.rand(2, 4, 64, 128), jnp.float32)
+        from vfp_tpu.kernels.dtcwt_synthesis import (
+            dtcwt_legall_synthesis_ll, dtcwt_qshift_synthesis_ll)
+
+        want_q = np.asarray(dtcwt_qshift_synthesis_ll(ll4, interpret=True))
+        want_l = np.asarray(dtcwt_legall_synthesis_ll(ll4, interpret=True))
+        tiny = Transform2d(backend="xla")
+        np.testing.assert_allclose(np.asarray(tiny.synthesis_qshift_ll(ll4)),
+                                   want_q, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(tiny.synthesis_legall_ll(ll4)),
+                                   want_l, atol=1e-5)
+
+    def test_delta_embed_equals_full_inverse_embed(self, rng):
+        """marked = u + inverse(delta) must match the old
+        inverse(forward(u) + delta) to PR error (~2e-7 relative)."""
+        from vfp_tpu.ops.dtcwt import Transform2d, c2q_subs
+
+        t = Transform2d(backend="xla")
+        b, h, w = 2, 72, 96
+        u = jnp.asarray(rng.rand(b, h, w) * 255, jnp.float32)
+        planes, sizes = t.forward_raw(u, nlevels=3)
+        h3, w3 = planes[2].shape[-2:]
+        delta6 = jnp.asarray(rng.randn(b, h3, w3, 6), jnp.float32)
+        dsubs = c2q_subs(delta6)
+        p3_new = jnp.concatenate([planes[2][:, :4], planes[2][:, 4:] + dsubs], axis=-3)
+        want = np.asarray(t.inverse_raw([planes[0], planes[1], p3_new], sizes))
+
+        d3 = jnp.concatenate([jnp.zeros((b, 4, h3, w3), jnp.float32), dsubs], axis=-3)
+        h2, w2 = planes[1].shape[-2:]
+        dll2 = t.synthesis_qshift(d3)[..., :h2, :w2]
+        dll1 = t.synthesis_qshift_ll(dll2)[..., : sizes[1][0], : sizes[1][1]]
+        du = t.synthesis_legall_ll(dll1)[..., : sizes[0][0], : sizes[0][1]]
+        got = np.asarray(u + du)
+        np.testing.assert_allclose(got, want, atol=2e-3)
