@@ -150,6 +150,121 @@ def bench_dtcwt_1080p(quick):
             "extract_correlation": round(corr, 4)}
 
 
+def bench_extract_1080p(quick):
+    """Config 2d: pure-chip 1080p flagship extract throughput."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.wm import DwtDctSvd
+
+    codec = DwtDctSvd()
+    rng = np.random.RandomState(0)
+    b = 8 if quick else 32
+    frames = jnp.asarray(natural_frames(rng, b, 1080, 1920)).astype(jnp.float32)
+
+    @partial(jax.jit, static_argnums=1)
+    def loop(x, n):
+        def body(i, x):
+            bits = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
+            return x + 0 * jnp.sum(bits).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 96
+    int(loop(frames, iters))
+    t0 = time.perf_counter()
+    int(loop(frames, iters))
+    dt = time.perf_counter() - t0
+    return {"batch": b, "extract_fps_chip": round(b * iters / dt, 1)}
+
+
+def bench_embed_4k(quick):
+    """Config 2e: pure-chip 4K (2160x3840) embed — pixel-rate scaling."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.fingerprint import payload_for_segment
+    from vfp_tpu.wm import DwtDctSvd, Shuffler
+
+    codec = DwtDctSvd()
+    rng = np.random.RandomState(0)
+    b = 2 if quick else 8
+    frames = jnp.asarray(natural_frames(rng, b, 2160, 3840)).astype(jnp.float32)
+    wm = Shuffler(key=0).generate_wm(
+        payload_for_segment(1, 2), codec.wm_capacity((2160, 3840, 3)))
+    wm = jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)
+
+    @partial(jax.jit, static_argnums=2)
+    def loop(x, wm, n):
+        def body(i, x):
+            return codec.mark_frames(
+                jnp.clip(x, 0, 255).astype(jnp.uint8), wm).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 48
+    int(loop(frames, wm, iters))
+    t0 = time.perf_counter()
+    int(loop(frames, wm, iters))
+    dt = time.perf_counter() - t0
+    fps = b * iters / dt
+    return {"batch": b, "embed_fps_chip": round(fps, 1),
+            "gigapixels_per_sec": round(fps * 2160 * 3840 / 1e9, 2)}
+
+
+def bench_dctqim_1080p(quick):
+    """Config 2f: perceptual DCT-QIM codec mark+extract on chip, with a
+    roundtrip bit-accuracy check."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.wm import DctQim
+
+    codec = DctQim()
+    rng = np.random.RandomState(0)
+    b = 4 if quick else 16
+    frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
+    wm = jnp.asarray(rng.randint(0, 2, codec.wm_capacity((1080, 1920, 3))), jnp.float32)
+    bits = np.asarray(codec.extract_frames(codec.mark_frames(frames, wm)))
+    acc = float((bits == np.asarray(wm)[None]).mean())
+
+    @partial(jax.jit, static_argnums=2)
+    def mloop(x, wm, n):
+        def body(i, x):
+            return codec.mark_frames(
+                jnp.clip(x, 0, 255).astype(jnp.uint8), wm).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    @partial(jax.jit, static_argnums=1)
+    def xloop(x, n):
+        def body(i, x):
+            r = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
+            return x + 0 * jnp.sum(r).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 48
+    x0 = frames.astype(jnp.float32)
+    int(mloop(x0, wm, iters))
+    t0 = time.perf_counter(); int(mloop(x0, wm, iters))
+    mark_fps = b * iters / (time.perf_counter() - t0)
+    int(xloop(x0, iters))
+    t0 = time.perf_counter(); int(xloop(x0, iters))
+    ext_fps = b * iters / (time.perf_counter() - t0)
+    return {"batch": b, "mark_fps_chip": round(mark_fps, 1),
+            "extract_fps_chip": round(ext_fps, 1), "roundtrip_bit_accuracy": acc}
+
+
 def bench_dtcwt_durability(quick):
     """Config 2c: DT-CWT keyed-plane durability through splice + lossy
     re-encode + re-segment (VERDICT r1 item 7; reference detector bar:
@@ -322,6 +437,9 @@ def main():
     for name, fn in [
         ("roundtrip_480p", bench_roundtrip_480p),
         ("embed_1080p_chip", bench_embed_1080p),
+        ("extract_1080p_chip", bench_extract_1080p),
+        ("embed_4k_chip", bench_embed_4k),
+        ("dctqim_1080p_chip", bench_dctqim_1080p),
         ("dtcwt_1080p_chip", bench_dtcwt_1080p),
         ("dtcwt_durability", bench_dtcwt_durability),
         ("hls_workflow", bench_hls_workflow),

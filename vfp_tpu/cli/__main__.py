@@ -125,6 +125,10 @@ def cmd_detect(args):
         reader.close()
         print(f"recovered {i} watermark images -> {out_dir}/")
         return
+    expected = None
+    if getattr(args, "payload", None):
+        expected = _payload_bits(args.payload)
+        args.payload_len = len(expected)
     if hasattr(deg, "set_shape"):
         deg.set_shape((args.payload_len,))
     if isinstance(deg, DeCorrShuffler):
@@ -151,6 +155,11 @@ def cmd_detect(args):
         logging.getLogger("vfp_tpu.cli").info("frame %d: %s", i, p.tolist())
     print(f"frames: {res.frames} ({res.fps:.1f} fps)")
     print(f"majority payload: {''.join(map(str, pattern))} (frequency {freq:.2f})")
+    if expected is not None:
+        ok = bool(np.array_equal(pattern, expected))
+        print(f"matches expected payload: {ok}")
+        if not ok:
+            raise SystemExit(1)
 
 
 def cmd_test_frame(args):
@@ -336,6 +345,8 @@ def main(argv=None):
     d.add_argument("input")
     d.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     d.add_argument("--payload-len", type=int, default=8)
+    d.add_argument("--payload", default=None,
+                   help="expected payload bits; sets --payload-len and prints match")
     d.add_argument("--key", type=int, default=0)
     d.add_argument("--threshold", choices=["midpoint", "fixed"], default="fixed")
     d.add_argument("--batch-size", type=int, default=16)
