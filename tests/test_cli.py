@@ -34,6 +34,16 @@ class TestMarkDetect:
         assert "majority payload: 01100101" in captured
         assert "frequency 1.00" in captured
 
+        # --payload sets the length AND verifies the match (exit 0)
+        main(["detect", str(out), "--payload", "01100101", "--batch-size", "8"])
+        captured = capsys.readouterr().out
+        assert "matches expected payload: True" in captured
+
+        import pytest
+
+        with pytest.raises(SystemExit):  # wrong expectation -> exit 1
+            main(["detect", str(out), "--payload", "11111111", "--batch-size", "8"])
+
 
 class TestHlsWorkflow:
     def test_full_hls_leak_trace(self, source_video, tmp_path, capsys):
