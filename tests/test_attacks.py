@@ -136,3 +136,37 @@ class TestDtcwtRobustness:
         rec0 = np.asarray(codec.extract_frames(jnp.asarray(frames)))
         corr0 = float(np.corrcoef(rec0.reshape(3, -1).mean(0), ref)[0, 1])
         assert abs(corr0) < 0.1, corr0
+
+
+class TestDctQimRobustness:
+    def test_payload_survives_jpeg95_via_redundancy(self, rng):
+        """DCT-QIM embeds in a U-channel AC coefficient, so 4:2:0 chroma
+        subsampling costs ~25% of raw bits at JPEG-95 (algorithm-family
+        property, same for the reference's dct_encoder).  Errors burst in
+        flat regions, so single frames can still flip; the pipeline's
+        decision rule — Shuffler tiling (~150x) within a frame, then
+        majority across frames (Extractor.majority) — recovers the
+        payload."""
+        import cv2
+        import jax.numpy as jnp
+
+        from vfp_tpu.wm import DctQim, DeShuffler, Shuffler
+
+        codec = DctQim()
+        frames = natural_frames(rng, b=2, h=240, w=320)
+        payload = np.array([0, 1, 1, 0, 0, 1, 0, 1])
+        cap = codec.wm_capacity((240, 320, 3))
+        wm = Shuffler(key=0).generate_wm(payload, cap)
+        marked = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        recovered = []
+        for f in marked:
+            _, enc = cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 95])
+            bits = np.asarray(codec.extract_frames(
+                jnp.asarray(cv2.imdecode(enc, 1)[None])))[0]
+            recovered.append(deg.degenerate(bits))
+        # across-frame majority (the Extractor's decision rule)
+        vote = (np.mean(recovered, axis=0) >= 0.5).astype(payload.dtype)
+        assert np.array_equal(vote, payload), (recovered, payload)
+        # and at least one frame recovers outright
+        assert any(np.array_equal(r, payload) for r in recovered)
