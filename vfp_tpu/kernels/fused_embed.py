@@ -33,7 +33,9 @@ from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
 from ..ops.soa import dct_kron
 from .qim import _triplet_rows
 
-STRIP = 32  # rows per grid cell (u8 sublane tile)
+STRIP = 64  # rows per grid cell (u8 sublane tile)
+NBR = STRIP // 8  # QIM block-rows per cell; the block-diagonal DCT is
+# kron(I_NBR, K) [16*NBR, 16*NBR] — NBR=8 fills the MXU's 128 rows exactly
 MAX_CHUNK = 512  # lane-chunk cap (HIGHEST-precision matmuls need VMEM headroom)
 MAX_CHUNKS = 16  # in-kernel segment cap: Mosaic's scoped VMEM grows with the
 # number of per-chunk selection matmuls (W=856 -> 107 segments compiled to a
@@ -74,15 +76,15 @@ def _consts(chunk: int):
             s[c, 8 * n + 2 * c, n] = 1.0
             s[c, 8 * n + 2 * c + 1, n] = 1.0
     st = np.ascontiguousarray(s.transpose(0, 2, 1))
-    r1 = np.zeros((16, STRIP), np.float32)
-    for i in range(16):
+    r1 = np.zeros((STRIP // 2, STRIP), np.float32)
+    for i in range(STRIP // 2):
         r1[i, 2 * i] = 1.0
         r1[i, 2 * i + 1] = 1.0
     k = dct_kron(4)
-    # kron(I4, k): the four block-rows' DCTs stack on sublanes into ONE
-    # [64, 64] HIGHEST matmul — 4x fewer (and better-filled) MXU pass groups
-    # than four [16, 16] dots
-    k4 = np.kron(np.eye(4, dtype=np.float32), k).astype(np.float32)
+    # kron(I_NBR, k): all block-rows' DCTs stack on sublanes into ONE
+    # [16*NBR, 16*NBR] HIGHEST matmul — NBR x fewer (and better-filled) MXU
+    # pass groups than NBR [16, 16] dots
+    k4 = np.kron(np.eye(NBR, dtype=np.float32), k).astype(np.float32)
     return s, st, r1, np.ascontiguousarray(r1.T), k4, np.ascontiguousarray(k4.T)
 
 
@@ -111,7 +113,7 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
 
     # per block-row (4 LL rows each): all concatenations stay on the sublane
     # axis — lane concats of non-128-aligned widths hit Mosaic relayout bugs
-    wm = wm_ref[0]  # [4, nbw]
+    wm = wm_ref[0]  # [NBR, nbw]
     # zero the QIM delta outside the true block grid: padded block columns
     # (lane padding) and partial/padded block rows must pass through as pure
     # color roundtrip, exactly like the XLA path / the reference
@@ -121,18 +123,18 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
     # dots — 4x fewer (and 4x better-filled) MXU pass groups
     m_all = jnp.concatenate(
         [mc[c][4 * br + r : 4 * br + r + 1, :]
-         for br in range(4) for r in range(4) for c in range(4)],
+         for br in range(NBR) for r in range(4) for c in range(4)],
         axis=0,
-    )  # [64, nbw], row br*16 + r*4 + c
+    )  # [16*NBR, nbw], row br*16 + r*4 + c
     d_all = jnp.dot(k_ref[:], m_all, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # DCT
     ddct_parts = []
-    for br in range(4):
+    for br in range(NBR):
         s0, u, v, rows = _triplet_rows(d_all[16 * br : 16 * br + 16])
         s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm[br : br + 1, :]) * scale
-        ds = jnp.where((bcol < nbw_real) & (j * 4 + br < nbh), s_new - s0, 0.0)
+        ds = jnp.where((bcol < nbw_real) & (j * NBR + br < nbh), s_new - s0, 0.0)
         ddct_parts.extend(ds * (u[r] * v[c]) for r in range(4) for c in range(4))
-    ddct_all = jnp.concatenate(ddct_parts, axis=0)  # [64, nbw]
+    ddct_all = jnp.concatenate(ddct_parts, axis=0)  # [16*NBR, nbw]
     dm_all = jnp.dot(kt_ref[:], ddct_all, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # IDCT, [64, nbw]
     # scatter-back: group the IDCT rows by block column c across all strips'
@@ -143,14 +145,14 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
     for c in range(4):
         dc = jnp.concatenate(
             [dm_all[16 * br + r * 4 + c : 16 * br + r * 4 + c + 1, :]
-             for br in range(4) for r in range(4)], axis=0)  # [16, nbw]
+             for br in range(NBR) for r in range(4)], axis=0)  # [4*NBR, nbw]
         outs = [
             jnp.dot(dc[:, l * nb : (l + 1) * nb], st_ref[c],
                     preferred_element_type=jnp.float32)
             for l in range(n_chunks)
         ]
         contrib = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
-        dllrows = contrib if dllrows is None else dllrows + contrib  # [16, W]
+        dllrows = contrib if dllrows is None else dllrows + contrib  # [STRIP/2, W]
     du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
 
     yuv = [
@@ -196,8 +198,8 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     strips = pl.cdiv(h, STRIP)
     wm3d = jnp.pad(wm2d.astype(jnp.float32),
-                   ((0, strips * 4 - nbh), (0, nbw - nbw_real)))
-    wm3d = wm3d.reshape(strips, 4, nbw)
+                   ((0, strips * NBR - nbh), (0, nbw - nbw_real)))
+    wm3d = wm3d.reshape(strips, NBR, nbw)
     s, st, r1, r1t, k, kt = _consts(chunk)
     grid = (b, strips)
     out = pl.pallas_call(
@@ -207,15 +209,15 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
         in_specs=[
             pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NBR, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, chunk // 8, chunk), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((STRIP, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP // 2, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP, STRIP // 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
@@ -244,16 +246,16 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
         mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
     m_all = jnp.concatenate(
         [mc[c][4 * br + r : 4 * br + r + 1, :]
-         for br in range(4) for r in range(4) for c in range(4)],
+         for br in range(NBR) for r in range(4) for c in range(4)],
         axis=0,
-    )  # [64, nbw] — one block-diagonal DCT (see _kernel)
+    )  # [16*NBR, nbw] — one block-diagonal DCT (see _kernel)
     d_all = jnp.dot(k_ref[:], m_all, preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)
     bits = []
-    for br in range(4):
+    for br in range(NBR):
         s0, u, v, rows = _triplet_rows(d_all[16 * br : 16 * br + 16])
         bits.append((jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32))
-    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [4, nbw]
+    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [NBR, nbw]
 
 
 @partial(jax.jit, static_argnames=("chan", "scale", "interpret"))
@@ -276,21 +278,21 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
     s, st, r1, r1t, k, kt = _consts(chunk)
     out = pl.pallas_call(
         partial(_decode_kernel, (chan, float(scale), chunk)),
-        out_shape=jax.ShapeDtypeStruct((b, strips, 4, nbw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, strips, NBR, nbw), jnp.float32),
         grid=(b, strips),
         in_specs=[
             pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP // 2, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 4, nbw), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, NBR, nbw), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, jnp.asarray(s), jnp.asarray(r1), jnp.asarray(k))
-    return out.reshape(b, strips * 4, nbw)[:, :nbh, :nbw_real]
+    return out.reshape(b, strips * NBR, nbw)[:, :nbh, :nbw_real]
 
 
 # NOTE: an interleaved-input variant (reading [B, H, W, 3] u8 directly as
