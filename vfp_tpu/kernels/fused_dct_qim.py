@@ -33,7 +33,9 @@ from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
 from ..ops.dct import dct_matrix
 from ..ops.soa import dct_kron
 
-STRIP = 32  # rows per grid cell = 4 block-rows of 8
+STRIP = 64  # rows per grid cell
+NBR = STRIP // 8  # 8x8 QIM block-rows per cell; the channel-stacked
+# selection operand is [2*STRIP, chunk] rows — NBR=8 fills the MXU's 128
 MAX_CHUNK = 512
 MAX_CHUNKS = 16  # in-kernel segment cap (scoped-VMEM growth; see fused_embed)
 
@@ -90,7 +92,7 @@ def _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk):
     (with the r-major permutation folded in) gives [r*8+c]-ordered
     coefficients per tile.
     """
-    yu = jnp.concatenate([yp, up], axis=0)  # [64, W]; row chan*32 + br*8 + r
+    yu = jnp.concatenate([yp, up], axis=0)  # [2*STRIP, W]; row chan*STRIP + br*8 + r
     sel = []
     for c in range(8):
         segs = [
@@ -101,8 +103,8 @@ def _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk):
         sel.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
     out = {}
     for chan in range(2):
-        for br in range(4):
-            base = chan * 32 + br * 8
+        for br in range(NBR):
+            base = chan * STRIP + br * 8
             m = jnp.concatenate([sel[c][base : base + 8, :] for c in range(8)],
                                 axis=0)  # [64, nbw] c-major spatial
             out[(chan, br)] = jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32,
@@ -169,7 +171,7 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
     bcol = jax.lax.broadcasted_iota(jnp.int32, (1, nbw), 1)
     dct = _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk)
     amps = []
-    for br in range(4):
+    for br in range(NBR):
         dc, tex = _masks_from_y(dct[(0, br)])
         mask = tex * _lum_mask(dc, mean)
         step = alpha * mask
@@ -177,11 +179,11 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
         v = dct[(1, br)][17:18, :]  # coefficient [2][1]
         base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
         v_new = jnp.where(wm[br : br + 1, :] == 0.0, base, base + jnp.sign(v) * step)
-        amps.append(jnp.where((bcol < nbw_real) & (j * 4 + br < nbh), v_new - v, 0.0))
+        amps.append(jnp.where((bcol < nbw_real) & (j * NBR + br < nbh), v_new - v, 0.0))
     # scatter-back: all four block-rows' amplitudes ride each selection
     # matmul (M=4) and the 8x8 IDCT basis combine runs on [4, W] operands
     # (same vreg count as [1, W] — sublane packing makes the 4 rows free)
-    amp4 = jnp.concatenate(amps, axis=0)  # [4, nbw], row br
+    amp4 = jnp.concatenate(amps, axis=0)  # [NBR, nbw], row br
     amp_sc = []
     for c in range(8):
         outs = [
@@ -195,9 +197,9 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
         acc = amp_sc[0] * b_ref[r, 0]
         for c in range(1, 8):
             acc = acc + amp_sc[c] * b_ref[r, c]
-        du_rows.append(acc)  # [4, W]: row br holds du8[br][r]
+        du_rows.append(acc)  # [NBR, W]: row br holds du8[br][r]
     du = jnp.concatenate(
-        [du_rows[r][br : br + 1, :] for br in range(4) for r in range(8)], axis=0
+        [du_rows[r][br : br + 1, :] for br in range(NBR) for r in range(8)], axis=0
     )  # [STRIP, W]
 
     yuv = [yp, up + du,
@@ -223,13 +225,13 @@ def _decode_kernel(static, x_ref, mean_ref, s_ref, k_ref, o_ref):
     up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
     dct = _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk)
     bits = []
-    for br in range(4):
+    for br in range(NBR):
         dc, tex = _masks_from_y(dct[(0, br)])
         step = alpha * tex * _lum_mask(dc, mean)
         bits.append(
             (jnp.mod(jnp.round(dct[(1, br)][17:18, :] / step), 2.0) == 1.0).astype(jnp.float32)
         )
-    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [4, nbw]
+    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [NBR, nbw]
 
 
 def _dc_mean_kernel(x_ref, o_ref):
@@ -272,8 +274,8 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
     if wp != w:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     wm3d = jnp.pad(wm2d.astype(jnp.float32),
-                   ((0, strips * 4 - nbh), (0, nbw - nbw_real)))
-    wm3d = wm3d.reshape(strips, 4, nbw)
+                   ((0, strips * NBR - nbh), (0, nbw - nbw_real)))
+    wm3d = wm3d.reshape(strips, NBR, nbw)
     s, st, k, basis = _consts8(chunk)
     out = pl.pallas_call(
         partial(_embed_kernel, (float(alpha), nbh, nbw_real, chunk)),
@@ -282,7 +284,7 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
         in_specs=[
             pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NBR, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -320,7 +322,7 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
     s, st, k, basis = _consts8(chunk)
     out = pl.pallas_call(
         partial(_decode_kernel, (float(alpha), chunk)),
-        out_shape=jax.ShapeDtypeStruct((b, strips, 4, nbw), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, strips, NBR, nbw), jnp.float32),
         grid=(b, strips),
         in_specs=[
             pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
@@ -330,8 +332,8 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 4, nbw), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, NBR, nbw), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, means, jnp.asarray(s), jnp.asarray(k))
-    return out.reshape(b, strips * 4, nbw)[:, :nbh, :nbw_real]
+    return out.reshape(b, strips * NBR, nbw)[:, :nbh, :nbw_real]
