@@ -95,9 +95,12 @@ def mark_segments(
         for seg_idx, seg_file in enumerate(segments, start=first_segment_number)
     ]
 
-    # host pipeline: decode segment i+1 on a thread while segment i encodes,
-    # and keep one marked batch in flight on the device (submit/collect) so
-    # chip + link time hides under the host-side JPEG encode
+    # host pipeline: decode segment i+1 on a thread while segment i marks, a
+    # writer thread JPEG-encodes behind the device (so each batch's chip +
+    # link latency hides under the previous batch's encode, and segment i+1's
+    # decode/submit proceeds while segment i's files still flush)
+    import queue
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
@@ -107,10 +110,32 @@ def mark_segments(
         if pi < len(plans) and plans[pi][2] and plans[pi][0] not in decode_futs:
             decode_futs[plans[pi][0]] = pool.submit(_read_all, plans[pi][1])
 
+    wq: queue.Queue = queue.Queue(maxsize=3)  # bounded: items hold frame batches
+    werr: list = []
+
+    def _writer_loop():
+        while True:
+            item = wq.get()
+            if item is None:
+                return
+            try:
+                if not werr:  # after an error: drain only (files are broken)
+                    if item[0] == "write":
+                        _, writers, todo, out = item
+                        for vi, c in enumerate(todo):
+                            writers[c].write_batch(out[vi])
+                    else:
+                        for wtr in item[1].values():
+                            wtr.close()
+            except Exception as e:  # pragma: no cover - re-raised below
+                werr.append(e)
+
+    wt = threading.Thread(target=_writer_loop, daemon=True)
+    wt.start()
+
     _prefetch(0)
     for pi, (seg_idx, seg_file, todo) in enumerate(plans):
         _prefetch(pi + 1)
-        writers = {}
         if todo:  # segment-level resume: decode only when some copy is missing
             frames, fps = decode_futs.pop(seg_idx).result()  # decoded ONCE
             h, w = frames.shape[1:3]
@@ -132,16 +157,11 @@ def mark_segments(
             for start in range(0, len(frames), batch_size):
                 handle = mm.submit(frames[start : start + batch_size])
                 if pending is not None:
-                    out = mm.collect(pending)
-                    for vi, c in enumerate(todo):
-                        writers[c].write_batch(out[vi])
+                    wq.put(("write", writers, todo, mm.collect(pending)))
                 pending = handle
             if pending is not None:
-                out = mm.collect(pending)
-                for vi, c in enumerate(todo):
-                    writers[c].write_batch(out[vi])
-            for wtr in writers.values():
-                wtr.close()
+                wq.put(("write", writers, todo, mm.collect(pending)))
+            wq.put(("close", writers))
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
@@ -159,7 +179,11 @@ def mark_segments(
             segment_payloads[f"{seg_idx}_{copy_index}"] = payload.tolist()
             logger.info("marked segment %d copy %d -> %s", seg_idx, copy_index, out_file)
         segment_copies["segments"][str(seg_idx)] = seg_entry
+    wq.put(None)
+    wt.join()
     pool.shutdown(wait=False)
+    if werr:
+        raise werr[0]
 
     segment_copies.update(
         {
