@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def clock(fn, x, iters=4, label=""):
+def clock(fn, x, iters=24, label=""):
     """fn: x -> array of same shape/dtype (so fori_loop can carry it)."""
 
     @partial(jax.jit, static_argnums=1)
