@@ -30,7 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops import dtcwt_coeffs as C
 
-STRIP = 64  # rows per grid cell; larger cells amortize per-cell DMA/dispatch overhead
+STRIP = 32  # rows per grid cell.  64 was measured perf-neutral and pushes
+# the full q-shift analysis kernel's scoped VMEM marginally over the 16 MB
+# limit in some fusion contexts (observed at [8,4,576,1024]) — keep 32
 HALO = 8
 MARGIN = 16  # circular top/left margin; covers L-1 = 13 for the q-shift pair
 
@@ -357,6 +359,87 @@ def dtcwt_level1_analysis_ll(x: jnp.ndarray, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)
+
+
+def _kernel_ll_color(static, x_hbm, rsel_ref, s2_ref, o_ref):
+    """Color-fused lowpass-only level 1: u8 BGR planes in, Y and U tree
+    lowpasses out.  Fusing the channel lincombs into the analysis kernel
+    skips materializing two full-resolution f32 planes between the XLA
+    color pass and the transform (the decode path's only use of them)."""
+    h_total, chunk = static
+    j = pl.program_id(1)
+    b = pl.program_id(0)
+
+    from ..ops.color import M_FWD, OFF_FWD
+
+    def body(scratch, sem):
+        main = pl.multiple_of(j * STRIP, 8)
+        top = pl.multiple_of(jax.lax.rem(j * STRIP - HALO + h_total, h_total), 8)
+        bot = pl.multiple_of(jax.lax.rem((j + 1) * STRIP, h_total), 8)
+        c0 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(main, STRIP), :], scratch.at[:, pl.ds(HALO, STRIP), :],
+            sem.at[0])
+        c1 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(top, HALO), :], scratch.at[:, pl.ds(0, HALO), :],
+            sem.at[1])
+        c2 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(bot, HALO), :], scratch.at[:, pl.ds(HALO + STRIP, HALO), :],
+            sem.at[2])
+        c0.start(); c1.start(); c2.start()
+        c0.wait(); c1.wait(); c2.wait()
+
+        x = scratch[:].astype(jnp.int32).astype(jnp.float32)  # [3, S+2H, W]
+        m = STRIP // 2
+        h0 = _consts_l1(chunk)[2]
+        for ch in range(2):  # 0 = Y, 1 = U
+            plane = (M_FWD[ch, 0] * x[0] + M_FWD[ch, 1] * x[1]
+                     + M_FWD[ch, 2] * x[2] + OFF_FWD[ch])
+            rows_all = dot_exact(rsel_ref[:], plane, exact_side="left")
+            rows_all = rows_all * _consts_l1(chunk)[4]
+            rc = RollCache()
+            convs = [_col_conv(rows_all[rt * m : (rt + 1) * m], h0, rc)
+                     for rt in range(2)]
+            stacked = jnp.concatenate(convs, axis=0)
+            for ct in range(2):
+                dec = _decimate(stacked, s2_ref, ct, chunk)
+                for rt in range(2):
+                    o_ref[0, ch, rt * 2 + ct] = dec[rt * m : (rt + 1) * m]
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((3, STRIP + 2 * HALO, x_hbm.shape[-1]), jnp.uint8),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_level1_analysis_ll_color(frames: jnp.ndarray, interpret: bool = False):
+    """u8 frames [B, H, W, 3] -> [B, 2, 4, H/2, W/2]: the 4 tree lowpasses
+    of the Y (ch 0) and U (ch 1) channels, color lincomb fused in-kernel."""
+    b, h0_, w0, _ = frames.shape
+    if not kernel_eligible(h0_, w0):
+        raise ValueError(f"shape {frames.shape} not kernel-eligible")
+    planes = jnp.moveaxis(frames, -1, 1)  # [B, 3, H, W] u8
+    planes = _wrap_pad(planes, h0_, w0)
+    h, w = planes.shape[-2:]
+    chunk = pick_chunk2(w)
+    rsel, s2, _, _, _ = _consts_l1(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_ll_color, (h, chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2 * STRIP, STRIP + 2 * HALO), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 4, STRIP // 2, w // 2), lambda i, j: (i, 0, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(rsel), jnp.asarray(s2))
     return _valid(out, h0_, w0)
 
 

@@ -172,8 +172,12 @@ class _DtcwtBase:
         t = Transform2d()
         ll1, _ = t.analysis_level1(jnp.concatenate([y, u], axis=0),
                                    lowpass_only=True)
-        y_p2, _ = t.analysis_qshift(ll1[:b])
-        u_ll2, _ = t.analysis_qshift(ll1[b:], lowpass_only=True)
+        return self._decode_from_ll1(ll1[:b], ll1[b:])
+
+    def _decode_from_ll1(self, y_ll1: jnp.ndarray, u_ll1: jnp.ndarray) -> jnp.ndarray:
+        t = Transform2d()
+        y_p2, _ = t.analysis_qshift(y_ll1)
+        u_ll2, _ = t.analysis_qshift(u_ll1, lowpass_only=True)
         u_p3, _ = t.analysis_qshift(u_ll2)
         shape3 = (u_p3.shape[-2], u_p3.shape[-1])
         masks = self._masks3_from_mags(q2c_magnitudes(y_p2), shape3,
@@ -182,7 +186,7 @@ class _DtcwtBase:
         hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
         folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
         folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
-        zero_ll = jnp.zeros((u.shape[0], 4, hh, ww), jnp.float32)
+        zero_ll = jnp.zeros((u_ll1.shape[0], 4, hh, ww), jnp.float32)
         level1 = jnp.concatenate([zero_ll, c2q_subs(folded)], axis=-3)
         return t.inverse_raw([level1], sizes=None)
 
@@ -278,7 +282,19 @@ class _DtcwtBase:
     @partial(jax.jit, static_argnums=0)
     def extract_frames(self, frames: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] uint8 -> recovered watermark planes [B, h, w]."""
-        yuv = bgr_to_yuv(jnp.asarray(frames).astype(jnp.float32))
+        frames = jnp.asarray(frames)
+        if self.nlevels == 3 and frames.dtype == jnp.uint8:
+            # color-fused level-1 kernel: the channel lincombs never
+            # materialize full-resolution f32 planes (decode reads nothing
+            # else of them)
+            h, w = frames.shape[1], frames.shape[2]
+            mode = Transform2d()._kernel_mode(h, w)
+            if mode is not None:
+                from ..kernels.dtcwt_level1 import dtcwt_level1_analysis_ll_color
+
+                ll1 = dtcwt_level1_analysis_ll_color(frames, interpret=mode)
+                return self._decode_from_ll1(ll1[:, 0], ll1[:, 1])
+        yuv = bgr_to_yuv(frames.astype(jnp.float32))
         return self._decode_channel_raw(yuv[..., 0], yuv[..., 1])
 
 
