@@ -139,14 +139,27 @@ def bench_dtcwt_1080p(quick):
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
+    @partial(jax.jit, static_argnums=1)
+    def xloop(x, n):
+        def body(i, x):
+            r = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
+            return x + 0 * jnp.mean(r).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
     # 32 on-device iters amortize the ~25 ms/call relay latency to ~3%
     iters = 2 if quick else 32
     x0 = frames.astype(jnp.float32)
     int(loop(x0, wm, iters))
     t0 = time.perf_counter()
     int(loop(x0, wm, iters))
-    dt = time.perf_counter() - t0
-    return {"batch": b, "mark_fps_chip": round(b * iters / dt, 1),
+    mark_fps = b * iters / (time.perf_counter() - t0)
+    int(xloop(x0, iters))
+    t0 = time.perf_counter()
+    int(xloop(x0, iters))
+    ext_fps = b * iters / (time.perf_counter() - t0)
+    return {"batch": b, "mark_fps_chip": round(mark_fps, 1),
+            "extract_fps_chip": round(ext_fps, 1),
             "extract_correlation": round(corr, 4)}
 
 
