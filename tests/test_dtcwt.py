@@ -208,3 +208,21 @@ class TestLowpassOnlySynthesis:
         du = t.synthesis_legall_ll(dll1)[..., : sizes[0][0], : sizes[0][1]]
         got = np.asarray(u + du)
         np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+class TestColorFusedAnalysis:
+    def test_matches_color_then_ll(self, rng):
+        """In-kernel Y/U lincombs must match bgr_to_yuv + lowpass-only
+        analysis to f32 rounding (decode-path fusion)."""
+        from vfp_tpu.kernels.dtcwt_level1 import (
+            dtcwt_level1_analysis_ll, dtcwt_level1_analysis_ll_color)
+        from vfp_tpu.ops.color import bgr_to_yuv
+
+        for h, w in ((64, 128), (66, 150)):
+            frames = jnp.asarray(rng.randint(0, 256, (2, h, w, 3)).astype(np.uint8))
+            yuv = bgr_to_yuv(frames.astype(jnp.float32))
+            want = jnp.stack(
+                [dtcwt_level1_analysis_ll(yuv[..., c], interpret=True) for c in (0, 1)],
+                axis=1)
+            got = dtcwt_level1_analysis_ll_color(frames, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
