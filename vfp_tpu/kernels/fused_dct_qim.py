@@ -1,7 +1,7 @@
 """Single-launch fused DCT-QIM embed/extract kernels (perceptual masks).
 
 Same launch-bound motivation and machinery as fused_embed.py, for the 8x8
-perceptually-masked codec (wm/dct_qim.py): per (batch, 32-row strip) grid
+perceptually-masked codec (wm/dct_qim.py): per (batch, STRIP-row strip) grid
 cell —
 
   u8 -> f32 -> Y & U lincombs -> 8x8-block SoA (selection matmuls) ->

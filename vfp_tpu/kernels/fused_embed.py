@@ -3,7 +3,7 @@
 On the axon-relayed chip every kernel launch costs ~2.7 ms regardless of
 size, so the multi-op embed pipeline (color, Haar, layout, QIM, inverse,
 epilogue = 7+ launches) is launch-bound.  This kernel does the ENTIRE
-flagship embed per (batch, 32-row strip) grid cell in one launch:
+flagship embed per (batch, STRIP-row strip) grid cell in one launch:
 
   u8 -> f32 -> channel lincomb -> Haar LL -> 4x4-block SoA -> DCT ->
   dominant triplet -> QIM -> rank-1 -> IDCT -> LL delta -> spatial delta ->
@@ -15,7 +15,7 @@ into four small selection matmuls with two-hot columns:
 S_c[j, n] = 1 iff j in {8n+2c, 8n+2c+1}.  The pattern is 8-periodic, so one
 [CHUNK, CHUNK/8] matrix serves every static lane chunk of the strip; the
 transposes scatter the LL delta back onto the 2x2 quads.  Row-side pairing
-is the [16, 32] analogue R1.  Everything else is elementwise on lane vectors
+is the [STRIP/2, STRIP] analogue R1.  Everything else is elementwise on lane vectors
 or 16x16 MXU matmuls (the Kronecker DCT).
 """
 
