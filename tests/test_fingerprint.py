@@ -165,6 +165,52 @@ class TestEndToEnd:
         assert result.fingerprint == info["pattern_string"]
 
 
+class TestWriterFailureCleanup:
+    def test_failed_files_unlinked_and_resume_remarks(self, source_video, tmp_path, monkeypatch):
+        """A writer-thread error must not leave truncated outputs on disk:
+        resume=True treats existing files as complete, so stale partials would
+        permanently skip their segments on rerun (advisor finding r2)."""
+        import vfp_tpu.fingerprint.marker as marker_mod
+
+        segs = segment_video(source_video, tmp_path / "segs", segment_duration=1.0)
+        assert len(segs) == 3
+        real_open_writer = marker_mod.open_writer
+
+        class FailingWriter:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def write_batch(self, frames):
+                raise IOError("disk full (injected)")
+
+            def close(self):
+                self.inner.close()
+
+        def patched(file, *a, **k):
+            w = real_open_writer(file, *a, **k)
+            if "seg1" in str(file):
+                return FailingWriter(w)
+            return w
+
+        monkeypatch.setattr(marker_mod, "open_writer", patched)
+        with pytest.raises(IOError, match="injected"):
+            mark_segments(segs, tmp_path / "marked", copies=1, batch_size=8, out_ext=".avi")
+        monkeypatch.setattr(marker_mod, "open_writer", real_open_writer)
+
+        # seg0 completed before the failure; seg1 (and anything after) is gone
+        assert (tmp_path / "marked" / "marked_seg0_copy0.avi").exists()
+        assert not (tmp_path / "marked" / "marked_seg1_copy0.avi").exists()
+
+        # a resume rerun re-marks the failed segments and they verify
+        marked, payloads, _ = mark_segments(
+            segs, tmp_path / "marked", copies=1, batch_size=8, out_ext=".avi", resume=True
+        )
+        assert len(marked) == 3
+        for m in marked:
+            pattern, freq, ok = verify_segment(m.file, m.payload)
+            assert ok, (m.file, pattern, m.payload)
+
+
 class TestCustomHls:
     def test_leak_create_hls_bundle(self, tmp_path, rng):
         from vfp_tpu.fingerprint import create_custom_hls

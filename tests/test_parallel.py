@@ -127,6 +127,31 @@ class TestSegmentFarm:
         m3, p3, c3 = merge_manifest_shards(tmp_path / "dist")
         assert p3 == p2 and c3 == c2
 
+    def test_merge_ignores_stale_higher_rank_shards(self, tmp_path):
+        """A resume at a smaller world size must not double-count segments
+        from a previous larger run's leftover manifest shards."""
+        import json
+
+        from vfp_tpu.parallel.farm import merge_manifest_shards
+
+        shard = {
+            "marked": [["f0.avi", 0, 0, [0, 1]]],
+            "payloads": {"0_0": [0, 1]},
+            "segments": {"0": [{"file": "f0.avi", "payload": [0, 1], "copy_index": 0}]},
+            "n_segments": 1,
+            "copies": 1,
+        }
+        (tmp_path / "manifest_rank0.json").write_text(json.dumps(shard))
+        stale = dict(shard, n_segments=3,
+                     marked=[["f9.avi", 9, 0, [1, 0]]], payloads={"9_0": [1, 0]})
+        (tmp_path / "manifest_rank1.json").write_text(json.dumps(stale))
+
+        _, p_all, c_all = merge_manifest_shards(tmp_path)  # unbounded: sees both
+        assert c_all["total_segments"] == 4 and "9_0" in p_all
+        m, p, c = merge_manifest_shards(tmp_path, world=1)
+        assert c["total_segments"] == 1
+        assert "9_0" not in p and len(m) == 1
+
 
 class TestSpatialSharding:
     def test_width_sharded_matches_unsharded(self, rng):

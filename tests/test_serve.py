@@ -105,6 +105,22 @@ class TestPages:
                        "Confidence", "m.frequency * 100", "/detect"):
             assert marker in page, f"detect page missing {marker!r}"
 
+    def test_detect_page_escapes_untrusted_fields(self, server):
+        """Usernames are attacker-chosen at /start-view; the detect page must
+        HTML-escape them (and error/note) before innerHTML, or a crafted
+        username executes script in the investigator's browser (stored XSS —
+        the reference template has this flaw, advisor finding r2)."""
+        base, _ = server
+        _, body, _ = _req(base, "/detect")
+        page = body.decode()
+        assert "const esc" in page
+        # every string-concat interpolation of an untrusted field must go
+        # through esc(...); a bare `+ field` means raw HTML injection
+        for field in ("m.username", "data.error", "data.note"):
+            assert f"esc({field}" in page, f"{field} never escaped"
+            assert f"+ {field}" not in page, f"{field} interpolated unescaped"
+            assert f"+{field}" not in page, f"{field} interpolated unescaped"
+
     def test_upload_page_has_copies_field(self, server):
         base, _ = server
         _, body, _ = _req(base, "/upload")

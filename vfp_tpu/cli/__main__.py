@@ -302,7 +302,7 @@ def cmd_durability(args):
     if getattr(args, "codec", "dwtDctSvd") == "dtcwtKey":
         report = run_durability_corr(
             args.input, args.output_dir, segment_duration=args.segment_duration,
-            quality=args.quality,
+            quality=args.quality, key=args.key,
         )
     else:
         report = run_durability(

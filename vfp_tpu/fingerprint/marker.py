@@ -112,6 +112,7 @@ def mark_segments(
 
     wq: queue.Queue = queue.Queue(maxsize=3)  # bounded: items hold frame batches
     werr: list = []
+    broken: list = []  # files touched at/after the first writer error
 
     def _writer_loop():
         while True:
@@ -119,16 +120,28 @@ def mark_segments(
             if item is None:
                 return
             try:
-                if not werr:  # after an error: drain only (files are broken)
-                    if item[0] == "write":
-                        _, writers, todo, out = item
-                        for vi, c in enumerate(todo):
-                            writers[c].write_batch(out[vi])
-                    else:
+                if werr:
+                    # after an error: drain, but record every affected file so
+                    # it can be unlinked — resume=True treats existing files as
+                    # complete, so leaving truncated ones would silently skip
+                    # their segments on re-run
+                    broken.extend(item[-1])
+                    if item[0] == "close":
                         for wtr in item[1].values():
-                            wtr.close()
+                            try:
+                                wtr.close()
+                            except Exception:  # pragma: no cover - best effort
+                                pass
+                elif item[0] == "write":
+                    _, writers, todo, out, _paths = item
+                    for vi, c in enumerate(todo):
+                        writers[c].write_batch(out[vi])
+                else:
+                    for wtr in item[1].values():
+                        wtr.close()
             except Exception as e:  # pragma: no cover - re-raised below
                 werr.append(e)
+                broken.extend(item[-1])
 
     wt = threading.Thread(target=_writer_loop, daemon=True)
     wt.start()
@@ -136,6 +149,8 @@ def mark_segments(
     _prefetch(0)
     for pi, (seg_idx, seg_file, todo) in enumerate(plans):
         _prefetch(pi + 1)
+        if werr:  # writer already failed: stop submitting device work
+            break
         if todo:  # segment-level resume: decode only when some copy is missing
             frames, fps = decode_futs.pop(seg_idx).result()  # decoded ONCE
             h, w = frames.shape[1:3]
@@ -147,6 +162,7 @@ def mark_segments(
                 for c in todo
             ]
             mm = MultiMarker(codec, wms, batch_size=batch_size)
+            paths = [str(marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}") for c in todo]
             writers = {
                 c: open_writer(
                     marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}", w, h, fps, quality
@@ -155,13 +171,15 @@ def mark_segments(
             }
             pending = None
             for start in range(0, len(frames), batch_size):
+                if werr:
+                    break
                 handle = mm.submit(frames[start : start + batch_size])
                 if pending is not None:
-                    wq.put(("write", writers, todo, mm.collect(pending)))
+                    wq.put(("write", writers, todo, mm.collect(pending), paths))
                 pending = handle
             if pending is not None:
-                wq.put(("write", writers, todo, mm.collect(pending)))
-            wq.put(("close", writers))
+                wq.put(("write", writers, todo, mm.collect(pending), paths))
+            wq.put(("close", writers, paths))
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
@@ -183,6 +201,10 @@ def mark_segments(
     wt.join()
     pool.shutdown(wait=False)
     if werr:
+        # unlink every file touched at/after the failure so a resume=True
+        # rerun re-marks those segments instead of trusting truncated output
+        for p in set(broken):
+            Path(p).unlink(missing_ok=True)
         raise werr[0]
 
     segment_copies.update(

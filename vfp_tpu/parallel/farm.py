@@ -103,9 +103,13 @@ def mark_segments_parallel(
     return marked, payloads, segment_copies
 
 
-def merge_manifest_shards(shard_dir) -> tuple[list, dict, dict]:
+def merge_manifest_shards(shard_dir, world: int | None = None) -> tuple[list, dict, dict]:
     """Merge per-rank manifest shards (``manifest_rank*.json``) into the
-    (marked, segment_payloads, segment_copies) triple of mark_segments."""
+    (marked, segment_payloads, segment_copies) triple of mark_segments.
+
+    ``world`` bounds the ranks considered: a resume with a smaller world size
+    leaves stale higher-rank shards from the previous run on disk, and merging
+    those would double-count segments."""
     import json
 
     from ..fingerprint.marker import MarkedSegment
@@ -116,6 +120,12 @@ def merge_manifest_shards(shard_dir) -> tuple[list, dict, dict]:
     total_segments = 0
     copies = 1
     for f in sorted(Path(shard_dir).glob("manifest_rank*.json")):
+        try:
+            rank = int(f.stem.removeprefix("manifest_rank"))
+        except ValueError:
+            continue
+        if world is not None and rank >= world:
+            continue
         shard = json.loads(f.read_text())
         marked.extend(MarkedSegment(*m) for m in shard["marked"])
         payloads.update(shard["payloads"])
@@ -161,7 +171,9 @@ def mark_segments_distributed(
 
     import jax
 
-    if jax.process_count() == 1 and (num_processes or 1) > 1 or coordinator_address:
+    # init only when not already initialized (process_count() > 1 means a
+    # prior initialize succeeded; calling again raises RuntimeError)
+    if jax.process_count() == 1 and (coordinator_address or (num_processes or 1) > 1):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
@@ -194,5 +206,5 @@ def mark_segments_distributed(
 
         multihost_utils.sync_global_devices("vfp_farm_shards")
     if rank == 0:
-        return merge_manifest_shards(marked_dir)
+        return merge_manifest_shards(marked_dir, world=world)
     return marked, payloads, copies_info

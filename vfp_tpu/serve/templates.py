@@ -265,6 +265,11 @@ _DETECT_BODY = """<div class="card">
 </div>
 </div>
 <script>
+// usernames are attacker-chosen at /start-view; detect results must be
+// HTML-escaped before innerHTML or a leaked username executes script in the
+// investigator's browser (the reference template has this flaw; we don't)
+const esc = s => String(s).replace(/[&<>"']/g,
+  c => ({'&': '&amp;', '<': '&lt;', '>': '&gt;', '"': '&quot;', "'": '&#39;'}[c]));
 document.getElementById('detectForm').addEventListener('submit', async function (e) {
   e.preventDefault();
   const results = document.getElementById('results');
@@ -277,22 +282,22 @@ document.getElementById('detectForm').addEventListener('submit', async function 
     const r = await fetch('/detect', {method: 'POST', body: fd});
     const data = await r.json();
     if (data.error) {
-      content.innerHTML = '<div class="error" style="display:block">' + data.error + '</div>';
+      content.innerHTML = '<div class="error" style="display:block">' + esc(data.error) + '</div>';
       return;
     }
     if (data.status === 'success') {
       // per-match card (reference: detect.html:119-137)
       content.innerHTML = data.matches.map(m =>
         '<div class="seg">' +
-        '<p><b>Username:</b> ' + m.username + '</p>' +
-        '<p><b>Timestamp:</b> ' + new Date(m.timestamp).toLocaleString() + '</p>' +
-        '<p><b>Pattern:</b> <span class="pattern">' + m.payload.join('') + '</span></p>' +
-        '<p><b>Segment Number:</b> ' + m.segment_number + '</p>' +
-        '<p><b>Confidence:</b> ' + (m.frequency * 100).toFixed(1) + '%</p>' +
+        '<p><b>Username:</b> ' + esc(m.username) + '</p>' +
+        '<p><b>Timestamp:</b> ' + esc(new Date(m.timestamp).toLocaleString()) + '</p>' +
+        '<p><b>Pattern:</b> <span class="pattern">' + esc(m.payload.join('')) + '</span></p>' +
+        '<p><b>Segment Number:</b> ' + esc(m.segment_number) + '</p>' +
+        '<p><b>Confidence:</b> ' + esc((m.frequency * 100).toFixed(1)) + '%</p>' +
         '</div>').join('');
     } else {
       content.innerHTML = '<div class="error" style="display:block">No matches found.<br>' +
-                          (data.note || '') + '</div>';
+                          esc(data.note || '') + '</div>';
     }
   } catch (err) {
     content.innerHTML = '<div class="error" style="display:block">' +

@@ -124,12 +124,14 @@ def run_durability_corr(
     batch_size: int = 8,
     threshold: float = 0.1,
     codec=None,
+    key: int = 0,
 ):
     """DT-CWT spread-spectrum durability: mark each segment with a keyed
-    +-1 plane (key = segment number), splice + re-encode + re-segment, and
-    re-identify each segment by correlation (reference detector threshold:
-    src/offmark/degenerator/de_corr_shuffler.py:27 corr > 0.1).  Report
-    schema matches run_durability; pass bar >= 75% preservation."""
+    +-1 plane (key = ``key`` + segment number), splice + re-encode +
+    re-segment, and re-identify each segment by correlation (reference
+    detector threshold: src/offmark/degenerator/de_corr_shuffler.py:27
+    corr > 0.1).  Report schema matches run_durability; pass bar >= 75%
+    preservation."""
     from ..wm import CorrShuffler, DeCorrShuffler
     from ..wm.dtcwt_codecs import DtcwtKey
 
@@ -148,7 +150,7 @@ def run_durability_corr(
         frames, fps = _read_all(seg)
         h, w = frames.shape[1:3]
         cap = codec.wm_capacity((h, w, 3))
-        wm = CorrShuffler(key=i).generate_wm(None, cap)
+        wm = CorrShuffler(key=key + i).generate_wm(None, cap)
         fm = FrameMarker(codec, wm, batch_size=batch_size)
         out = marked_dir / f"marked_{Path(seg).name}"
         with open_writer(out, w, h, fps, quality) as writer:
@@ -158,7 +160,7 @@ def run_durability_corr(
 
     refs = np.stack(
         [
-            np.asarray(DeCorrShuffler(key=k)._reference(tuple(cap)), np.float32)
+            np.asarray(DeCorrShuffler(key=key + k)._reference(tuple(cap)), np.float32)
             for k in range(len(segments))
         ]
     )
