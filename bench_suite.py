@@ -308,6 +308,56 @@ def bench_dtcwt_durability(quick):
     }
 
 
+def bench_mp4v_durability(quick):
+    """Config 2g: durability through cv2's mp4v encoder (inter-frame DCT,
+    4:2:0 chroma — the closest available approximation of the reference's
+    libx264 yuv420p attack, reference tests/segment_mark_detect_hls.py:500)
+    for all three video codecs at their mp4v-tuned strengths (strength table:
+    docs/DESIGN.md; defaults 15/20 fail this channel, 45/30 pass)."""
+    import tempfile
+
+    import numpy as np
+
+    from vfp_tpu.io import RawVideoWriter
+    from vfp_tpu.wm import DctQim, DwtDctSvd
+    from vfp_tpu.workflows.durability import run_durability, run_durability_corr
+
+    rng = np.random.RandomState(7)
+    nseg = 2 if quick else 4
+    out = {}
+
+    def coherent_segment(b, h, w):
+        # one natural base frame + small per-frame brightness drift: real
+        # video is temporally coherent, and an inter-frame coder fed i.i.d.
+        # noise every frame spends its whole bit budget on residuals — a
+        # pathological channel, not the reference's attack model
+        base = natural_frames(rng, 1, h, w)[0].astype(np.float64)
+        return np.clip(np.stack([base + i * 0.7 for i in range(b)]), 0, 255).astype(np.uint8)
+
+    with tempfile.TemporaryDirectory() as td:
+        src = Path(td) / "src.rawv"
+        with RawVideoWriter(src, 640, 360, fps=6) as w:
+            for _ in range(nseg):
+                w.write_batch(coherent_segment(6, 360, 640))
+        for name, runner in [
+            ("flagship_scale45", lambda d: run_durability(
+                src, d, segment_duration=1.0, batch_size=8, container="mp4",
+                codec=DwtDctSvd(scales=(0.0, 45.0, 0.0)))),
+            ("dctqim_alpha30", lambda d: run_durability(
+                src, d, segment_duration=1.0, batch_size=8, container="mp4",
+                codec=DctQim(alpha=30.0))),
+            ("dtcwtkey_default", lambda d: run_durability_corr(
+                src, d, segment_duration=1.0, batch_size=8, container="mp4")),
+        ]:
+            r = runner(Path(td) / name)
+            out[name] = {
+                "segment_preservation_rate": r["segment_preservation_rate"],
+                "reencoded_success_rate": r["reencoded_success_rate"],
+                "passes_75pct_bar": r["is_successful"],
+            }
+    return out
+
+
 def bench_hls_workflow(quick):
     """Config 3: segment + mark 3 variants/segment + playlists + verify."""
     import numpy as np
@@ -455,6 +505,7 @@ def main():
         ("dctqim_1080p_chip", bench_dctqim_1080p),
         ("dtcwt_1080p_chip", bench_dtcwt_1080p),
         ("dtcwt_durability", bench_dtcwt_durability),
+        ("durability_mp4v", bench_mp4v_durability),
         ("hls_workflow", bench_hls_workflow),
         ("leak_trace", bench_leak_trace),
         ("concurrent_serve", bench_concurrent_serve),

@@ -299,15 +299,26 @@ def cmd_trace(args):
 def cmd_durability(args):
     from ..workflows.durability import run_durability, run_durability_corr
 
-    if getattr(args, "codec", "dwtDctSvd") == "dtcwtKey":
+    name = getattr(args, "codec", "dwtDctSvd")
+    container = getattr(args, "container", None)
+    alpha = getattr(args, "alpha", None)
+    if name == "dtcwtKey":
         report = run_durability_corr(
             args.input, args.output_dir, segment_duration=args.segment_duration,
-            quality=args.quality, key=args.key,
+            quality=args.quality, key=args.key, container=container,
         )
     else:
+        if name == "dct":
+            from ..wm import DctQim
+
+            codec = DctQim(alpha=alpha) if alpha else DctQim()
+        else:
+            from ..wm import DwtDctSvd
+
+            codec = DwtDctSvd(scales=(0.0, alpha, 0.0)) if alpha else DwtDctSvd()
         report = run_durability(
             args.input, args.output_dir, segment_duration=args.segment_duration,
-            quality=args.quality, key=args.key,
+            quality=args.quality, key=args.key, codec=codec, container=container,
         )
     print(json.dumps(report, indent=2))
     sys.exit(0 if report["is_successful"] else 1)
@@ -402,8 +413,14 @@ def main(argv=None):
     u.add_argument("--segment-duration", type=float, default=2.0)
     u.add_argument("--quality", type=int, default=90)
     u.add_argument("--key", type=int, default=0)
-    u.add_argument("--codec", choices=["dwtDctSvd", "dtcwtKey"], default="dwtDctSvd",
+    u.add_argument("--codec", choices=["dwtDctSvd", "dct", "dtcwtKey"], default="dwtDctSvd",
                    help="dtcwtKey runs the correlation-identification variant")
+    u.add_argument("--container", choices=["avi", "mp4"], default=None,
+                   help="lossy channel: avi = MJPEG at --quality (intra-only), "
+                        "mp4 = cv2 mp4v (inter-frame, 4:2:0 chroma)")
+    u.add_argument("--alpha", type=float, default=None,
+                   help="embedding strength override (QIM scale for dwtDctSvd/"
+                        "dct); mp4v needs ~45/30 vs the 15/20 defaults")
     u.set_defaults(fn=cmd_durability)
 
     s = sub.add_parser("serve", help="run the fingerprinting HTTP service")

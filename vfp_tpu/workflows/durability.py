@@ -35,11 +35,11 @@ def payload_for_segment_8bit(segment_number: int) -> np.ndarray:
     return np.array([int(b) for b in format(segment_number % 256, "08b")])
 
 
-def _detect_all(segment_files, key: int):
+def _detect_all(segment_files, key: int, codec=None):
     results = []
     for i, seg in enumerate(segment_files):
         expected = payload_for_segment_8bit(i)
-        pattern, freq, ok = verify_segment(seg, expected, key=key)
+        pattern, freq, ok = verify_segment(seg, expected, codec=codec, key=key)
         results.append(
             {
                 "segment": str(seg),
@@ -125,6 +125,7 @@ def run_durability_corr(
     threshold: float = 0.1,
     codec=None,
     key: int = 0,
+    container: str | None = None,
 ):
     """DT-CWT spread-spectrum durability: mark each segment with a keyed
     +-1 plane (key = ``key`` + segment number), splice + re-encode +
@@ -152,7 +153,8 @@ def run_durability_corr(
         cap = codec.wm_capacity((h, w, 3))
         wm = CorrShuffler(key=key + i).generate_wm(None, cap)
         fm = FrameMarker(codec, wm, batch_size=batch_size)
-        out = marked_dir / f"marked_{Path(seg).name}"
+        ext = f".{container}" if container else Path(seg).suffix
+        out = marked_dir / f"marked_{Path(seg).stem}{ext}"
         with open_writer(out, w, h, fps, quality) as writer:
             for s in range(0, len(frames), batch_size):
                 writer.write_batch(fm.mark(frames[s : s + batch_size]))
@@ -183,9 +185,17 @@ def run_durability(
     key: int = 0,
     batch_size: int = 16,
     codec=None,
+    container: str | None = None,
 ):
     """Returns the analysis report dict (keys mirror the reference's
-    analyze_results, segment_mark_detect_hls.py:320-386, plus wall_seconds)."""
+    analyze_results, segment_mark_detect_hls.py:320-386, plus wall_seconds).
+
+    ``container`` picks the lossy channel the watermark must survive:
+    None keeps the segments' own extension (MJPEG at ``quality`` for .avi),
+    "mp4" routes marked segments AND the splice through cv2's mp4v encoder —
+    an inter-frame DCT codec with 4:2:0 chroma, the closest available
+    approximation of the reference's libx264 yuv420p attack
+    (reference: src/offmark/video/frame_writer.py:31-39)."""
     t0 = time.time()
     codec = codec or DwtDctSvd()
     base = Path(output_dir)
@@ -203,19 +213,20 @@ def run_durability(
             payload_for_segment_8bit(i), codec.wm_capacity((h, w, 3))
         )
         fm = FrameMarker(codec, wm, batch_size=batch_size)
-        out = marked_dir / f"marked_{Path(seg).name}"
+        ext = f".{container}" if container else Path(seg).suffix
+        out = marked_dir / f"marked_{Path(seg).stem}{ext}"
         with open_writer(out, w, h, fps, quality) as writer:
             for s in range(0, len(frames), batch_size):
                 writer.write_batch(fm.mark(frames[s : s + batch_size]))
         marked_files.append(out)
 
-    original_results = _detect_all(marked_files, key)
+    original_results = _detect_all(marked_files, key, codec)
 
     # splice -> one re-encoded video -> re-segment on the same grid
     spliced = base / ("full.mp4" if str(marked_files[0]).endswith(".mp4") else "full.avi")
     concatenate_segments(marked_files, spliced)
     resegmented = segment_video(spliced, base / "resegmented", segment_duration)
-    reencoded_results = _detect_all(resegmented, key)
+    reencoded_results = _detect_all(resegmented, key, codec)
     return _analyze(original_results, reencoded_results, t0)
 
 
