@@ -171,9 +171,13 @@ def mark_segments_distributed(
 
     import jax
 
-    # init only when not already initialized (process_count() > 1 means a
-    # prior initialize succeeded; calling again raises RuntimeError)
-    if jax.process_count() == 1 and (coordinator_address or (num_processes or 1) > 1):
+    # init only when not already initialized (re-init raises RuntimeError).
+    # Probe via is_initialized(), NOT jax.process_count(): the latter
+    # initializes the local backend, after which distributed.initialize can
+    # no longer take effect
+    if not jax.distributed.is_initialized() and (
+        coordinator_address or (num_processes or 1) > 1
+    ):
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
