@@ -3,6 +3,7 @@ compile to Mosaic on real TPU — exercised by bench.py)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vfp_tpu.kernels import qim_embed_soa, qim_decode_soa
 from vfp_tpu.ops.soa import dct_soa, idct_soa, rank1_update_soa, top_triplet_soa
@@ -119,7 +120,7 @@ class TestFusedMegaKernels:
         from vfp_tpu.wm.dwt_dct_svd import DwtDctSvd
 
         codec = DwtDctSvd(backend="pallas")
-        for w in range(640, 3841, 4):
+        for w in range(640, 7681, 4):  # every codec-eligible width through 8K
             assert codec._fused_ok((1, 480, w, 3))
             wp = padded_width(w)
             chunk = pick_chunk(wp)
@@ -128,6 +129,11 @@ class TestFusedMegaKernels:
             assert chunk <= MAX_CHUNK and wp // chunk <= MAX_CHUNKS, w
         # the exact round-1 failure: 856 has a prime block count (107)
         assert padded_width(856) == 864 and pick_chunk(864) == 432
+        # prime-block-count widths in the 5K-8K class (the same failure mode
+        # at the top of the supported range): 641*8, 857*8, 953*8
+        for w in (5128, 6856, 7624):
+            wp = padded_width(w)
+            assert wp is not None and wp // pick_chunk(wp) <= MAX_CHUNKS, w
 
     def test_mark_padded_width_matches_xla(self, rng):
         """W=856 (prime block count) exercises the zero-pad + slice path."""
@@ -145,6 +151,30 @@ class TestFusedMegaKernels:
         assert (np.abs(out.astype(int) - want.astype(int)) == 0).mean() > 0.98
         bits = np.asarray(fused_extract_planar(got, 15.0, 1, interpret=True))
         assert bits.shape == (2, nbh, nbw)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        rec = codec.extract_frames(jnp.asarray(out))
+        for p in np.asarray(deg.degenerate_batch(rec)):
+            np.testing.assert_array_equal(p, payload)
+
+    @pytest.mark.parametrize("w", [5128, 7680])
+    def test_8k_class_widths_mark_and_roundtrip(self, rng, w):
+        """The top of the supported width range (8K = 7680, plus a 5K-class
+        prime-block-count width that exercises the pad path) must run the
+        fused kernel's math, not just pass eligibility — the round-1 W=856
+        failure compiled its *chunking* fine and OOM'd in the kernel.
+        Interpret mode for math here; the real-TPU compile smoke is the
+        embed_8k_chip suite entry."""
+        from vfp_tpu.kernels.fused_embed import fused_extract_planar, fused_mark_planar
+        from vfp_tpu.wm import DeShuffler
+
+        frames, codec, (nbh, nbw), cap, payload, wm = self._setup(rng, h=16, w=w)
+        planes = jnp.asarray(frames.transpose(0, 3, 1, 2))
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        got = fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True)
+        assert got.shape == planes.shape
+        bits = np.asarray(fused_extract_planar(got, 15.0, 1, interpret=True))
+        assert bits.shape == (2, nbh, nbw)
+        out = np.asarray(got).transpose(0, 2, 3, 1)
         deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
         rec = codec.extract_frames(jnp.asarray(out))
         for p in np.asarray(deg.degenerate_batch(rec)):
