@@ -231,6 +231,134 @@ def bench_embed_4k(quick):
             "gigapixels_per_sec": round(fps * 2160 * 3840 / 1e9, 2)}
 
 
+def bench_embed_8k(quick):
+    """Config 2h: pure-chip 8K (4320x7680) embed — the top of the supported
+    width range (compile smoke for the fused kernel's widest class; math is
+    covered by tests/test_kernels.py interpret-mode 8K roundtrips)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.fingerprint import payload_for_segment
+    from vfp_tpu.wm import DwtDctSvd, Shuffler
+
+    codec = DwtDctSvd()
+    rng = np.random.RandomState(0)
+    b = 1 if quick else 2
+    frames = jnp.asarray(natural_frames(rng, b, 4320, 7680)).astype(jnp.float32)
+    wm = Shuffler(key=0).generate_wm(
+        payload_for_segment(1, 2), codec.wm_capacity((4320, 7680, 3)))
+    wm = jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)
+
+    @partial(jax.jit, static_argnums=2)
+    def loop(x, wm, n):
+        def body(i, x):
+            return codec.mark_frames(
+                jnp.clip(x, 0, 255).astype(jnp.uint8), wm).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 32
+    int(loop(frames, wm, iters))
+    t0 = time.perf_counter()
+    int(loop(frames, wm, iters))
+    dt = time.perf_counter() - t0
+    fps = b * iters / dt
+    return {"batch": b, "embed_fps_chip": round(fps, 1),
+            "gigapixels_per_sec": round(fps * 4320 * 7680 / 1e9, 2)}
+
+
+def bench_extract_4k(quick):
+    """Config 2i: pure-chip 4K flagship extract (the leak-trace scaling story
+    rides extract throughput; embed @4K is config 2e)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.wm import DwtDctSvd
+
+    codec = DwtDctSvd()
+    rng = np.random.RandomState(0)
+    b = 2 if quick else 8
+    frames = jnp.asarray(natural_frames(rng, b, 2160, 3840)).astype(jnp.float32)
+
+    @partial(jax.jit, static_argnums=1)
+    def loop(x, n):
+        def body(i, x):
+            bits = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
+            return x + 0 * jnp.sum(bits).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 48
+    int(loop(frames, iters))
+    t0 = time.perf_counter()
+    int(loop(frames, iters))
+    dt = time.perf_counter() - t0
+    return {"batch": b, "extract_fps_chip": round(b * iters / dt, 1)}
+
+
+def bench_dtcwtimg_1080p(quick):
+    """Config 2j: DT-CWT visible-image codec (DtcwtImg + BlockShuffler
+    pairing) mark+extract on chip, with an image-recovery correlation
+    check (reference: src/offmark/embed/dtcwt_img_encoder.py)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.wm.dtcwt_codecs import DtcwtImg
+
+    codec = DtcwtImg()
+    rng = np.random.RandomState(0)
+    b = 4 if quick else 8
+    frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
+    h, w = codec.wm_capacity((1080, 1920, 3))
+    # block-structured visible mark (what BlockShuffler produces)
+    wm = jnp.asarray(np.kron(rng.randint(0, 2, (h // 8, w // 8)),
+                             np.ones((8, 8)))[:h, :w], jnp.float32)
+
+    marked = codec.mark_frames(frames, wm)
+    rec = np.asarray(codec.extract_frames(marked))
+    corr = float(np.corrcoef(
+        rec.reshape(b, -1).mean(0), np.asarray(wm).reshape(-1))[0, 1])
+
+    @partial(jax.jit, static_argnums=2)
+    def loop(x, wm, n):
+        def body(i, x):
+            m = codec.mark_frames(jnp.clip(x, 0, 255).astype(jnp.uint8), wm)
+            return m.astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    @partial(jax.jit, static_argnums=1)
+    def xloop(x, n):
+        def body(i, x):
+            r = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
+            return x + 0 * jnp.mean(r).astype(jnp.float32)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 32
+    x0 = frames.astype(jnp.float32)
+    int(loop(x0, wm, iters))
+    t0 = time.perf_counter()
+    int(loop(x0, wm, iters))
+    mark_fps = b * iters / (time.perf_counter() - t0)
+    int(xloop(x0, iters))
+    t0 = time.perf_counter()
+    int(xloop(x0, iters))
+    ext_fps = b * iters / (time.perf_counter() - t0)
+    return {"batch": b, "mark_fps_chip": round(mark_fps, 1),
+            "extract_fps_chip": round(ext_fps, 1),
+            "extract_correlation": round(corr, 4)}
+
+
 def bench_dctqim_1080p(quick):
     """Config 2f: perceptual DCT-QIM codec mark+extract on chip, with a
     roundtrip bit-accuracy check."""
@@ -373,12 +501,17 @@ def bench_hls_workflow(quick):
     src = base / "src.rawv"
     with RawVideoWriter(src, 640, 480, fps=6) as w:
         w.write_batch(natural_frames(rng, n, 480, 640))
+    mark_stats: dict = {}
     t0 = time.perf_counter()
     segs = segment_video(src, base / "segments", 1.0)
-    marked, payloads, copies = mark_segments(segs, base / "marked", copies=3, batch_size=8)
+    t_seg = time.perf_counter() - t0
+    marked, payloads, copies = mark_segments(segs, base / "marked", copies=3,
+                                             batch_size=8, stats=mark_stats)
     write_hls_playlists(marked, base / "hls", copies=3, segment_duration=1.0)
     wall = time.perf_counter() - t0
+    t1 = time.perf_counter()
     ok = sum(verify_segment(m.file, m.payload)[2] for m in marked)
+    t_verify = time.perf_counter() - t1
     shutil.rmtree(base, ignore_errors=True)
     return {
         "segments": len(segs),
@@ -386,6 +519,9 @@ def bench_hls_workflow(quick):
         "batch": 8,
         "marked_frames_per_sec_incl_io": round(n * 3 / wall, 2),
         "verified": f"{ok}/{len(marked)}",
+        "segment_split_seconds": round(t_seg, 3),
+        "verify_seconds": round(t_verify, 3),
+        "mark_stats": mark_stats,
     }
 
 
@@ -502,8 +638,11 @@ def main():
         ("embed_1080p_chip", bench_embed_1080p),
         ("extract_1080p_chip", bench_extract_1080p),
         ("embed_4k_chip", bench_embed_4k),
+        ("extract_4k_chip", bench_extract_4k),
+        ("embed_8k_chip", bench_embed_8k),
         ("dctqim_1080p_chip", bench_dctqim_1080p),
         ("dtcwt_1080p_chip", bench_dtcwt_1080p),
+        ("dtcwtimg_1080p_chip", bench_dtcwtimg_1080p),
         ("dtcwt_durability", bench_dtcwt_durability),
         ("durability_mp4v", bench_mp4v_durability),
         ("hls_workflow", bench_hls_workflow),

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import logging
+import time
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -62,12 +63,19 @@ def mark_segments(
     out_ext: str | None = None,
     resume: bool = False,
     first_segment_number: int = 0,
+    stats: dict | None = None,
 ):
     """Mark every segment in ``copies`` variants.
 
     Returns (marked: list[MarkedSegment], segment_payloads, segment_copies) —
     the dicts use the reference's JSON manifest schemas
     (reference: tests/mark_video_to_hls.py:406-427).
+
+    When ``stats`` is a dict it is populated with per-stage busy seconds
+    (decode / host_ll / dispatch / link_fetch / reconstruct / encode_write)
+    plus wall seconds.  The host pipeline overlaps stages across threads, but
+    on a single host core the host-stage busy times still sum to host-busy
+    wall; link_fetch is time blocked on device->host transfers.
     """
     codec = codec or DwtDctSvd()
     marked_dir = Path(marked_dir)
@@ -105,10 +113,19 @@ def mark_segments(
 
     pool = ThreadPoolExecutor(max_workers=1)
     decode_futs: dict = {}
+    t_wall0 = time.perf_counter()
+    ss = {"decode": 0.0, "host_ll": 0.0, "dispatch": 0.0, "link_fetch": 0.0,
+          "reconstruct": 0.0, "device_full": 0.0, "encode_write": 0.0}
+
+    def _read_timed(file):
+        t0 = time.perf_counter()
+        out = _read_all(file)
+        ss["decode"] += time.perf_counter() - t0
+        return out
 
     def _prefetch(pi: int):
         if pi < len(plans) and plans[pi][2] and plans[pi][0] not in decode_futs:
-            decode_futs[plans[pi][0]] = pool.submit(_read_all, plans[pi][1])
+            decode_futs[plans[pi][0]] = pool.submit(_read_timed, plans[pi][1])
 
     wq: queue.Queue = queue.Queue(maxsize=3)  # bounded: items hold frame batches
     werr: list = []
@@ -134,11 +151,15 @@ def mark_segments(
                                 pass
                 elif item[0] == "write":
                     _, writers, todo, out, _paths = item
+                    t0 = time.perf_counter()
                     for vi, c in enumerate(todo):
                         writers[c].write_batch(out[vi])
+                    ss["encode_write"] += time.perf_counter() - t0
                 else:
+                    t0 = time.perf_counter()
                     for wtr in item[1].values():
                         wtr.close()
+                    ss["encode_write"] += time.perf_counter() - t0
             except Exception as e:  # pragma: no cover - re-raised below
                 werr.append(e)
                 broken.extend(item[-1])
@@ -169,17 +190,27 @@ def mark_segments(
                 )
                 for c in todo
             }
+            def _collect(h):
+                t0 = time.perf_counter()
+                out = mm.collect(h)
+                if mm._ll is None:  # lowlink times itself, finer-grained
+                    ss["device_full"] += time.perf_counter() - t0
+                return out
+
             pending = None
             for start in range(0, len(frames), batch_size):
                 if werr:
                     break
                 handle = mm.submit(frames[start : start + batch_size])
                 if pending is not None:
-                    wq.put(("write", writers, todo, mm.collect(pending), paths))
+                    wq.put(("write", writers, todo, _collect(pending), paths))
                 pending = handle
             if pending is not None:
-                wq.put(("write", writers, todo, mm.collect(pending), paths))
+                wq.put(("write", writers, todo, _collect(pending), paths))
             wq.put(("close", writers, paths))
+            if mm._ll is not None:
+                for sk, sv in mm._ll.stage_seconds.items():
+                    ss[sk] += sv
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
@@ -214,6 +245,14 @@ def mark_segments(
             "total_marked_segments": len(marked),
         }
     )
+    if stats is not None:
+        wall = time.perf_counter() - t_wall0
+        stats["wall_seconds"] = round(wall, 3)
+        stats["stage_seconds"] = {k: round(v, 3) for k, v in ss.items()}
+        host = ss["decode"] + ss["host_ll"] + ss["reconstruct"] + ss["encode_write"]
+        stats["host_busy_seconds"] = round(host, 3)
+        stats["link_device_wait_seconds"] = round(
+            ss["dispatch"] + ss["link_fetch"] + ss["device_full"], 3)
     return marked, segment_payloads, segment_copies
 
 

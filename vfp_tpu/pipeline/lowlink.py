@@ -119,6 +119,12 @@ class LowLinkMarker:
         self._wms_np = np.stack([np.asarray(w).reshape(-1) for w in wms]).astype(np.float32)
         self._wms = None  # device copy, lazily placed
         self._fn = _mark_fn(codec, len(self._wms_np))
+        # per-stage busy seconds, accumulated across submit/collect calls
+        # (single host core: these compete for the same CPU, so their sum
+        # approximates host-busy wall; link_fetch is time blocked on the
+        # device->host transfer in collect)
+        self.stage_seconds = {"host_ll": 0.0, "dispatch": 0.0,
+                              "link_fetch": 0.0, "reconstruct": 0.0}
 
     @property
     def n_variants(self) -> int:
@@ -126,21 +132,36 @@ class LowLinkMarker:
 
     def submit(self, frames: np.ndarray):
         """Dispatch one batch; returns an opaque handle for collect()."""
+        import time
+
         import jax.numpy as jnp
 
         if self._wms is None:
             self._wms = jnp.asarray(self._wms_np)
         k = len(frames)
+        t0 = time.perf_counter()
         ll = host_ll(frames, self.chan)
         if k < self.batch_size:  # pad in the (16x smaller) LL domain
             ll = np.concatenate([ll, np.repeat(ll[-1:], self.batch_size - k, axis=0)])
-        return (self._fn(jnp.asarray(ll), self._wms), frames, k)
+        t1 = time.perf_counter()
+        handle = (self._fn(jnp.asarray(ll), self._wms), frames, k)
+        t2 = time.perf_counter()
+        self.stage_seconds["host_ll"] += t1 - t0
+        self.stage_seconds["dispatch"] += t2 - t1
+        return handle
 
     def collect(self, handle) -> np.ndarray:
         """Handle -> [V, k, H, W, 3] uint8 marked frames."""
+        import time
+
         dll_dev, frames, k = handle
+        t0 = time.perf_counter()
         dll = np.asarray(dll_dev)[:, :k]  # [V, k, hc, wc] int8
-        return np.stack([reconstruct(frames, dll[v], self.chan) for v in range(len(dll))])
+        t1 = time.perf_counter()
+        out = np.stack([reconstruct(frames, dll[v], self.chan) for v in range(len(dll))])
+        self.stage_seconds["link_fetch"] += t1 - t0
+        self.stage_seconds["reconstruct"] += time.perf_counter() - t1
+        return out
 
     def mark_all(self, frames: np.ndarray) -> np.ndarray:
         return self.collect(self.submit(frames))
