@@ -1,0 +1,232 @@
+"""Mosaic-level stage profile of the fused flagship embed kernel.
+
+The fused kernel (kernels/fused_embed.py) measures several x over its pure
+MXU+HBM floor; XLA-level traces can't attribute time INSIDE one pallas
+call.  This peels the kernel: each variant runs the real kernel body up to
+stage N, then emits a uint8 output of the correct shape (with a
+data-dependent-but-zero i32 term so Mosaic can't dead-code the peeled
+stages — u8 vector adds are unsupported, so the dep-add happens in the i32
+domain before the final cast).  Successive deltas attribute time per stage
+on the real chip.  The kernel body mirrors the component-major layout of
+kernels/fused_embed.py (permutations folded into the DCT constants).
+
+Run: python tools/profile_fused.py [--iters 64] [--batch 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vfp_tpu.kernels.fused_embed import (
+    NBR, STRIP, _consts, padded_width, pick_chunk,
+)
+from vfp_tpu.kernels.qim import _triplet_core
+from vfp_tpu.ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
+
+# "full" runs first as calibration (it is the production kernel verbatim);
+# the peeled stages then attribute the cumulative time
+STAGES = ["full", "cast", "color", "llr_select", "dct", "triplet",
+          "qim_idct", "scatter"]
+
+
+def _dep_i32(val):
+    """i32 term that is always 0 but depends on ``val`` (defeats DCE)."""
+    return (jnp.abs(val[:1, :1]) > 1e30).astype(jnp.int32)
+
+
+def _to_u8(planes_f32, dep=None):
+    out = jnp.round(jnp.clip(planes_f32, 0.0, 255.0)).astype(jnp.int32)
+    if dep is not None:
+        out = out + dep
+    return out.astype(jnp.uint8)
+
+
+def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
+            kt_ref, o_ref):
+    stage, chan, scale, nbh, nbw_real, chunk = static
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
+    w = x.shape[-1]
+    n_chunks = w // chunk
+    nb = chunk // 8
+    nbw = w // 8
+    if stage == "cast":
+        o_ref[0] = _to_u8(x)
+        return
+
+    yuv = [
+        M_FWD[k, 0] * x[0] + M_FWD[k, 1] * x[1] + M_FWD[k, 2] * x[2] + OFF_FWD[k]
+        for k in range(3)
+    ]
+    out = [
+        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
+        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
+        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
+        for k in range(3)
+    ]
+    if stage == "color":
+        o_ref[0] = _to_u8(jnp.stack(out))
+        return
+
+    cp = yuv[chan]
+    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)
+    mc = []
+    for c in range(4):
+        segs = [
+            jnp.dot(llr[:, l * chunk : (l + 1) * chunk], s_ref[c],
+                    preferred_element_type=jnp.float32)
+            for l in range(n_chunks)
+        ]
+        mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
+    if stage == "llr_select":
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(mc[0])[None])
+        return
+
+    m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
+    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # component-major DCT
+    if stage == "dct":
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(d_cm)[None])
+        return
+
+    s0, u, v, rows = _triplet_core(
+        [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
+    if stage == "triplet":
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(s0)[None])
+        return
+
+    wm = wm_ref[0]
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 1)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
+    s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
+    ds = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), s_new - s0, 0.0)
+    ddct_cm = jnp.concatenate(
+        [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0)
+    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    if stage == "qim_idct":
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(dm_c)[None])
+        return
+
+    dllrows = None
+    for c in range(4):
+        dc = dm_c[4 * NBR * c : 4 * NBR * (c + 1), :]
+        outs = [
+            jnp.dot(dc[:, l * nb : (l + 1) * nb], st_ref[c],
+                    preferred_element_type=jnp.float32)
+            for l in range(n_chunks)
+        ]
+        contrib = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
+        dllrows = contrib if dllrows is None else dllrows + contrib
+    du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
+    if stage == "scatter":
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(du)[None])
+        return
+
+    yuv[chan] = yuv[chan] + du
+    out = [
+        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
+        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
+        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
+        for k in range(3)
+    ]
+    o_ref[0] = _to_u8(jnp.stack(out))
+
+
+@partial(jax.jit, static_argnames=("stage", "chan", "scale"))
+def peeled_mark(planes, wm2d, stage, scale=15.0, chan=1):
+    b, _, h, w = planes.shape
+    wp = padded_width(w)
+    chunk = pick_chunk(wp)
+    nbh, nbw_real = (h // 4 * 4 // 2) // 4, w // 8
+    nbw = wp // 8
+    if wp != w:
+        planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
+    strips = pl.cdiv(h, STRIP)
+    wm3d = jnp.pad(wm2d.astype(jnp.float32),
+                   ((0, strips * NBR - nbh), (0, nbw - nbw_real)))
+    wm3d = wm3d.reshape(strips, NBR, nbw)
+    s, st, r1, r1t, k, kt = _consts(chunk)
+    out = pl.pallas_call(
+        partial(_kernel, (stage, chan, float(scale), nbh, nbw_real, chunk)),
+        out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
+        grid=(b, strips),
+        in_specs=[
+            pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NBR, nbw), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, chunk // 8, chunk), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP // 2, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP, STRIP // 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+    )(planes, wm3d, jnp.asarray(s), jnp.asarray(st), jnp.asarray(r1),
+      jnp.asarray(r1t), jnp.asarray(k), jnp.asarray(kt))
+    return out if wp == w else out[:, :, :, :w]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--width", type=int, default=1920)
+    args = ap.parse_args()
+
+    t0 = time.perf_counter()
+    np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8, 8), jnp.float32)))
+    print(f"link warmup: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    rng = np.random.RandomState(0)
+    b, h, w = args.batch, args.height, args.width
+    planes = jnp.asarray(rng.randint(0, 256, (b, 3, h, w)), jnp.uint8)
+    nbh, nbw = (h // 4 * 4 // 2) // 4, w // 8
+    wm2d = jnp.asarray(rng.randint(0, 2, (nbh, nbw)), jnp.float32)
+
+    @partial(jax.jit, static_argnames=("stage", "n"))
+    def loop(x, wm, stage, n):
+        def body(i, x):
+            return peeled_mark(x, wm, stage)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    results = {}
+    for stage in STAGES:
+        int(loop(planes, wm2d, stage, 2))  # compile + warm
+        t0 = time.perf_counter()
+        int(loop(planes, wm2d, stage, args.iters))
+        dt = time.perf_counter() - t0
+        per_frame_us = dt / (args.iters * b) * 1e6
+        results[stage] = round(per_frame_us, 1)
+        print(f"{stage:>10}: {per_frame_us:8.1f} us/frame "
+              f"({b * args.iters / dt:8.1f} fps)", flush=True)
+
+    print("\ncumulative-stage deltas (us/frame):")
+    prev = 0.0
+    for stage in STAGES[1:]:
+        print(f"{stage:>10}: +{results[stage] - prev:7.1f}")
+        prev = results[stage]
+    print(f"{'epilogue':>10}: +{results['full'] - prev:7.1f}  (color-back + cast)")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,24 @@ class MarkedSegment:
 
 
 def _read_all(file):
+    # .rawv fast path: one np.fromfile of the whole segment.  The native
+    # ring reader's per-open cost (thread spawn + ring alloc) dominates on
+    # the few-frame segments HLS produces — 30x slower than a plain read.
+    if str(file).endswith(".rawv"):
+        import struct
+
+        from ..io.readers import RAWV_MAGIC
+
+        with open(file, "rb") as f:
+            head = f.read(24)
+            if head[:8] == RAWV_MAGIC:
+                w, h, fps_num, fps_den = struct.unpack("<IIII", head[8:])
+                data = np.fromfile(f, np.uint8)
+                n = data.size // (h * w * 3)
+                if n == 0:
+                    raise IOError(f"empty segment: {file}")
+                return (data[: n * h * w * 3].reshape(n, h, w, 3),
+                        fps_num / max(fps_den, 1))
     reader = open_reader(file)
     chunks = []
     try:
@@ -127,7 +145,10 @@ def mark_segments(
         if pi < len(plans) and plans[pi][2] and plans[pi][0] not in decode_futs:
             decode_futs[plans[pi][0]] = pool.submit(_read_timed, plans[pi][1])
 
-    wq: queue.Queue = queue.Queue(maxsize=3)  # bounded: items hold frame batches
+    # bounded: each "mark" item holds an in-flight device handle + its source
+    # frames, so maxsize is the pipeline depth (submits run ahead of the
+    # link fetch + encode by up to 3 batches, across segment boundaries)
+    wq: queue.Queue = queue.Queue(maxsize=3)
     werr: list = []
     broken: list = []  # files touched at/after the first writer error
 
@@ -149,12 +170,16 @@ def mark_segments(
                                 wtr.close()
                             except Exception:  # pragma: no cover - best effort
                                 pass
-                elif item[0] == "write":
-                    _, writers, todo, out, _paths = item
+                elif item[0] == "mark":
+                    _, mm, handle, writers, todo, _paths = item
                     t0 = time.perf_counter()
+                    out = mm.collect(handle)  # blocks on the link fetch here,
+                    t1 = time.perf_counter()  # off the submitting thread
+                    if mm._ll is None:  # lowlink times itself, finer-grained
+                        ss["device_full"] += t1 - t0
                     for vi, c in enumerate(todo):
                         writers[c].write_batch(out[vi])
-                    ss["encode_write"] += time.perf_counter() - t0
+                    ss["encode_write"] += time.perf_counter() - t1
                 else:
                     t0 = time.perf_counter()
                     for wtr in item[1].values():
@@ -167,6 +192,7 @@ def mark_segments(
     wt = threading.Thread(target=_writer_loop, daemon=True)
     wt.start()
 
+    mms: list = []
     _prefetch(0)
     for pi, (seg_idx, seg_file, todo) in enumerate(plans):
         _prefetch(pi + 1)
@@ -190,27 +216,16 @@ def mark_segments(
                 )
                 for c in todo
             }
-            def _collect(h):
-                t0 = time.perf_counter()
-                out = mm.collect(h)
-                if mm._ll is None:  # lowlink times itself, finer-grained
-                    ss["device_full"] += time.perf_counter() - t0
-                return out
-
-            pending = None
+            mms.append(mm)
+            # free-running submits: the device + link work ahead of the
+            # writer thread's fetch/encode by the queue depth, including
+            # across segment boundaries (no per-segment drain)
             for start in range(0, len(frames), batch_size):
                 if werr:
                     break
                 handle = mm.submit(frames[start : start + batch_size])
-                if pending is not None:
-                    wq.put(("write", writers, todo, _collect(pending), paths))
-                pending = handle
-            if pending is not None:
-                wq.put(("write", writers, todo, _collect(pending), paths))
+                wq.put(("mark", mm, handle, writers, todo, paths))
             wq.put(("close", writers, paths))
-            if mm._ll is not None:
-                for sk, sv in mm._ll.stage_seconds.items():
-                    ss[sk] += sv
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
@@ -231,6 +246,10 @@ def mark_segments(
     wq.put(None)
     wt.join()
     pool.shutdown(wait=False)
+    for mm in mms:  # summed after join: the writer thread owned the collects
+        if mm._ll is not None:
+            for sk, sv in mm._ll.stage_seconds.items():
+                ss[sk] += sv
     if werr:
         # unlink every file touched at/after the failure so a resume=True
         # rerun re-marks those segments instead of trusting truncated output

@@ -80,15 +80,17 @@ class Cv2Reader(FrameReader):
         self.fps = float(self.cap.get(cv2.CAP_PROP_FPS)) or 30.0
 
     def read_batch(self, n: int) -> Optional[np.ndarray]:
+        import cv2
+
         out = []
         for _ in range(n):
             ok, frame = self.cap.read()
             if not ok:
                 break
-            out.append(frame[..., ::-1])  # BGR -> RGB (file order)
+            out.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))  # -> file order
         if not out:
             return None
-        return np.ascontiguousarray(np.stack(out))
+        return np.stack(out)
 
     def close(self):
         self.cap.release()

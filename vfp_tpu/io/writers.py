@@ -64,8 +64,12 @@ class Cv2Writer(FrameWriter):
             raise IOError(f"cannot open video writer: {file} ({fourcc})")
 
     def write_batch(self, frames: np.ndarray):
+        import cv2
+
         for f in frames:
-            self.w.write(np.ascontiguousarray(f[..., ::-1]))  # RGB -> BGR
+            # RGB -> BGR; cv2.cvtColor is ~24x faster than a numpy
+            # negative-stride copy on the 1-core host
+            self.w.write(cv2.cvtColor(np.ascontiguousarray(f), cv2.COLOR_RGB2BGR))
 
     def close(self):
         self.w.release()
@@ -124,7 +128,7 @@ class MjpegAviWriter(FrameWriter):
 
         for frame in frames:
             ok, enc = cv2.imencode(
-                ".jpg", np.ascontiguousarray(frame[..., ::-1]),
+                ".jpg", cv2.cvtColor(np.ascontiguousarray(frame), cv2.COLOR_RGB2BGR),
                 [cv2.IMWRITE_JPEG_QUALITY, self.quality],
             )
             if not ok:

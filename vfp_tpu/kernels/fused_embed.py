@@ -31,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
 from ..ops.soa import dct_kron
-from .qim import _triplet_rows
+from .qim import _triplet_core
 
 STRIP = 64  # rows per grid cell (u8 sublane tile)
 NBR = STRIP // 8  # QIM block-rows per cell; the block-diagonal DCT is
@@ -83,9 +83,30 @@ def _consts(chunk: int):
     k = dct_kron(4)
     # kron(I_NBR, k): all block-rows' DCTs stack on sublanes into ONE
     # [16*NBR, 16*NBR] HIGHEST matmul — NBR x fewer (and better-filled) MXU
-    # pass groups than NBR [16, 16] dots
-    k4 = np.kron(np.eye(NBR, dtype=np.float32), k).astype(np.float32)
-    return s, st, r1, np.ascontiguousarray(r1.T), k4, np.ascontiguousarray(k4.T)
+    # pass groups than NBR [16, 16] dots.  Row/column PERMUTATIONS are folded
+    # into the constants so the kernel never reorders rows at runtime (the
+    # previous layout concatenated 128 single [1, nbw] rows per direction,
+    # and ran the triplet math 8x on 1-sublane rows):
+    #   input  layout (Q):  c*32 + 4*br + r   — [mc[0]; ...; mc[3]] stacked
+    #   output layout (P):  (r*4+c)*NBR + br  — "component-major": each of
+    #     the 16 block components is an [NBR, nbw] tile, so the triplet math
+    #     runs ONCE on 8-sublane tiles
+    #   idct out      (R):  c*32 + br*4 + r   — scatter-back groups c
+    #     contiguous, no per-row concat
+    kron_k = np.kron(np.eye(NBR, dtype=np.float32), k).astype(np.float32)
+    p = np.zeros((16 * NBR, 16 * NBR), np.float32)
+    q = np.zeros_like(p)
+    rr = np.zeros_like(p)
+    for br in range(NBR):
+        for r in range(4):
+            for c in range(4):
+                blk = br * 16 + r * 4 + c
+                p[(r * 4 + c) * NBR + br, blk] = 1.0
+                q[blk, c * (4 * NBR) + 4 * br + r] = 1.0
+                rr[c * (4 * NBR) + br * 4 + r, blk] = 1.0
+    k1 = (p @ kron_k @ q).astype(np.float32)
+    k2 = (rr @ kron_k.T @ p.T).astype(np.float32)
+    return s, st, r1, np.ascontiguousarray(r1.T), k1, k2
 
 
 def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref, o_ref):
@@ -111,41 +132,32 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
         ]
         mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
 
-    # per block-row (4 LL rows each): all concatenations stay on the sublane
-    # axis — lane concats of non-128-aligned widths hit Mosaic relayout bugs
+    # component-major QIM: the permuted DCT constant (see _consts) maps the
+    # stacked LL rows straight to 16 contiguous [NBR, nbw] component tiles,
+    # so the triplet math runs ONCE on full 8-sublane tiles and the kernel
+    # performs no single-row concatenations at all
     wm = wm_ref[0]  # [NBR, nbw]
     # zero the QIM delta outside the true block grid: padded block columns
     # (lane padding) and partial/padded block rows must pass through as pure
     # color roundtrip, exactly like the XLA path / the reference
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (1, nbw), 1)
-    # all four block-rows' 16-row tiles stack on sublanes: ONE [64, 64]
-    # block-diagonal HIGHEST matmul per direction instead of four [16, 16]
-    # dots — 4x fewer (and 4x better-filled) MXU pass groups
-    m_all = jnp.concatenate(
-        [mc[c][4 * br + r : 4 * br + r + 1, :]
-         for br in range(NBR) for r in range(4) for c in range(4)],
-        axis=0,
-    )  # [16*NBR, nbw], row br*16 + r*4 + c
-    d_all = jnp.dot(k_ref[:], m_all, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)  # DCT
-    ddct_parts = []
-    for br in range(NBR):
-        s0, u, v, rows = _triplet_rows(d_all[16 * br : 16 * br + 16])
-        s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm[br : br + 1, :]) * scale
-        ds = jnp.where((bcol < nbw_real) & (j * NBR + br < nbh), s_new - s0, 0.0)
-        ddct_parts.extend(ds * (u[r] * v[c]) for r in range(4) for c in range(4))
-    ddct_all = jnp.concatenate(ddct_parts, axis=0)  # [16*NBR, nbw]
-    dm_all = jnp.dot(kt_ref[:], ddct_all, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # IDCT, [64, nbw]
-    # scatter-back: group the IDCT rows by block column c across all strips'
-    # block rows so each selection matmul carries 16 rows — the previous
-    # per-row [1, nb] @ [nb, chunk] formulation ran 16x more MXU passes at
-    # 1/16 the row utilization and dominated the kernel's pass count
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 1)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
+    m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
+    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # DCT, row q*NBR+br
+    s0, u, v, rows = _triplet_core(
+        [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
+    s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
+    ds = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), s_new - s0, 0.0)
+    ddct_cm = jnp.concatenate(
+        [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0)
+    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # IDCT, row c*32+br*4+r
+    # scatter-back: the IDCT constant already emits rows grouped by block
+    # column c (16-row groups at full MXU row utilization)
     dllrows = None
     for c in range(4):
-        dc = jnp.concatenate(
-            [dm_all[16 * br + r * 4 + c : 16 * br + r * 4 + c + 1, :]
-             for br in range(NBR) for r in range(4)], axis=0)  # [4*NBR, nbw]
+        dc = dm_c[4 * NBR * c : 4 * NBR * (c + 1), :]  # [4*NBR, nbw], row br*4+r
         outs = [
             jnp.dot(dc[:, l * nb : (l + 1) * nb], st_ref[c],
                     preferred_element_type=jnp.float32)
@@ -244,18 +256,12 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
             for l in range(n_chunks)
         ]
         mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
-    m_all = jnp.concatenate(
-        [mc[c][4 * br + r : 4 * br + r + 1, :]
-         for br in range(NBR) for r in range(4) for c in range(4)],
-        axis=0,
-    )  # [16*NBR, nbw] — one block-diagonal DCT (see _kernel)
-    d_all = jnp.dot(k_ref[:], m_all, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    bits = []
-    for br in range(NBR):
-        s0, u, v, rows = _triplet_rows(d_all[16 * br : 16 * br + 16])
-        bits.append((jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32))
-    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [NBR, nbw]
+    m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
+    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)  # component-major DCT
+    s0, u, v, rows = _triplet_core(
+        [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
+    o_ref[0, 0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)  # [NBR, nbw]
 
 
 @partial(jax.jit, static_argnames=("chan", "scale", "interpret"))

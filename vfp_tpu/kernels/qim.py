@@ -33,7 +33,14 @@ _EPS = 1e-20
 def _triplet_rows(m):
     """Shared dominant-triplet math on a [16, T] tile; returns (s0, u, v)
     with s0 [1, T], u/v lists of 4 [1, T] rows."""
-    rows = [m[i : i + 1, :] for i in range(16)]
+    return _triplet_core([m[i : i + 1, :] for i in range(16)])
+
+
+def _triplet_core(rows):
+    """Dominant-triplet math on 16 tiles rows[r*4+c] of any common [S, T]
+    shape; every op is elementwise, so callers can batch independent blocks
+    on the sublane axis (S>1) for full VPU-lane utilization instead of
+    running S separate 1-sublane passes (see kernels/fused_embed.py)."""
 
     # G = B^T B, rows a*4+b.
     g = [None] * 16

@@ -60,27 +60,60 @@ def host_ll(frames: np.ndarray, chan: int) -> np.ndarray:
     return ll.astype(np.float16)
 
 
+@lru_cache(maxsize=None)
+def _delta_luts(chan: int):
+    """Per-channel int16 LUTs: wire int8 value -> rounded pixel delta.
+
+    For integer pixels x, clip(rint(x + d)) == clip(x + rint(d)) for every
+    one of the 255 wire values and both nonzero channels (verified
+    exhaustively over all (x, du, ch) — no float lands exactly on a .5
+    boundary), so the whole float pipeline collapses to an int16 LUT add.
+    """
+    from ..ops.color import M_BWD
+
+    luts = []
+    du = np.arange(-128, 128, dtype=np.float32)
+    for ch in range(3):
+        coef = float(M_BWD[ch, chan])
+        luts.append(
+            None if coef == 0.0
+            else np.rint(du * np.float32(coef * 0.5 / DLL_Q)).astype(np.int16)
+        )
+    return luts
+
+
 def reconstruct(frames: np.ndarray, dll_q: np.ndarray, chan: int) -> np.ndarray:
     """[k, H, W, 3] uint8 + int8 LL delta -> marked uint8 frames.
 
     marked = clip(rint(x + upsample2x2(dll) * 0.5 * M_BWD[:, chan])); channels
     with a zero column coefficient (R for chan=1) pass through untouched.
     """
-    from ..ops.color import M_BWD
+    return reconstruct_all(frames, dll_q[None], chan)[0]
 
+
+def reconstruct_all(frames: np.ndarray, dll_all: np.ndarray, chan: int) -> np.ndarray:
+    """[k, H, W, 3] uint8 + [V, k, hc, wc] int8 deltas -> [V, k, H, W, 3].
+
+    Variant-batched host reconstruct: the strided per-channel source read is
+    done once (int16) and reused by every variant — ~1.5x faster than per-
+    variant float passes on the 1-core host, bit-identical output.
+    """
+    V = len(dll_all)
     k, h, w, _ = frames.shape
-    hc, wc = dll_q.shape[-2:]
+    hc, wc = dll_all.shape[-2:]
     h2, w2 = hc * 2, wc * 2
-    du = dll_q.astype(np.float32)
-    out = frames.copy()
-    for ch in range(3):
-        coef = float(M_BWD[ch, chan])
-        if coef == 0.0:
+    idx = dll_all.astype(np.int16)
+    idx += 128  # LUT index space
+    out = np.repeat(frames[None], V, axis=0)
+    for ch, lut in enumerate(_delta_luts(chan)):
+        if lut is None:
             continue
-        x = frames[:, :h2, :w2, ch].astype(np.float32).reshape(k, hc, 2, wc, 2)
-        x += du[:, :, None, :, None] * np.float32(coef * 0.5 / DLL_Q)
-        np.clip(np.rint(x, out=x), 0.0, 255.0, out=x)
-        out[:, :h2, :w2, ch] = x.astype(np.uint8).reshape(k, h2, w2)
+        x16 = frames[:, :h2, :w2, ch].astype(np.int16).reshape(k, hc, 2, wc, 2)
+        d = lut[idx]  # [V, k, hc, wc] int16
+        for v in range(V):
+            m = x16 + d[v][:, :, None, :, None]
+            np.clip(m, 0, 255, out=m)
+            out[v, :, :h2, :w2, ch] = m.astype(np.uint8).reshape(k, h2, w2)
     return out
 
 
@@ -158,7 +191,7 @@ class LowLinkMarker:
         t0 = time.perf_counter()
         dll = np.asarray(dll_dev)[:, :k]  # [V, k, hc, wc] int8
         t1 = time.perf_counter()
-        out = np.stack([reconstruct(frames, dll[v], self.chan) for v in range(len(dll))])
+        out = reconstruct_all(frames, dll, self.chan)
         self.stage_seconds["link_fetch"] += t1 - t0
         self.stage_seconds["reconstruct"] += time.perf_counter() - t1
         return out
