@@ -241,6 +241,49 @@ class TestDtcwtKernels:
                 np.testing.assert_allclose(
                     out[:, band * 4 + ci], np.asarray(want), atol=2e-3)
 
+    def test_qshift_hp_matches_full(self):
+        """Highpass-only q-shift kernel == planes 4: of the full kernel."""
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.dtcwt_level1 import (dtcwt_qshift_analysis,
+                                                  dtcwt_qshift_analysis_hp)
+
+        rng = np.random.RandomState(6)
+        ll4 = jnp.asarray(rng.rand(2, 4, 72, 136).astype(np.float32) * 255)
+        full = np.asarray(dtcwt_qshift_analysis(ll4, interpret=True))
+        hp = np.asarray(dtcwt_qshift_analysis_hp(ll4, interpret=True))
+        assert hp.shape == (2, 12, 36, 68)
+        np.testing.assert_allclose(hp, full[:, 4:], atol=1e-5)
+
+    def test_level1_ll_y_matches_color(self):
+        """Y-only color-fused L1 kernel == channel 0 of the 2-channel one."""
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.dtcwt_level1 import (
+            dtcwt_level1_analysis_ll_color, dtcwt_level1_analysis_ll_y)
+
+        rng = np.random.RandomState(7)
+        frames = jnp.asarray(rng.randint(0, 256, (2, 72, 136, 3)), jnp.uint8)
+        both = np.asarray(dtcwt_level1_analysis_ll_color(frames, interpret=True))
+        y = np.asarray(dtcwt_level1_analysis_ll_y(frames, interpret=True))
+        assert y.shape == (2, 4, 36, 68)
+        np.testing.assert_allclose(y, both[:, 0], atol=1e-5)
+
+    def test_legall_synthesis_hp_matches_zero_ll(self):
+        """hp LeGall synthesis == full synthesis with explicit zero ll."""
+        import numpy as np
+        import jax.numpy as jnp
+        from vfp_tpu.kernels.dtcwt_synthesis import (
+            dtcwt_legall_synthesis, dtcwt_legall_synthesis_hp)
+
+        rng = np.random.RandomState(8)
+        subs = jnp.asarray(rng.randn(2, 12, 72, 136).astype(np.float32))
+        full_in = jnp.concatenate(
+            [jnp.zeros((2, 4, 72, 136), jnp.float32), subs], axis=1)
+        want = np.asarray(dtcwt_legall_synthesis(full_in, interpret=True))
+        got = np.asarray(dtcwt_legall_synthesis_hp(subs, interpret=True))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
     def test_transform2d_pallas_backend_matches_xla(self):
         import numpy as np
         import jax.numpy as jnp

@@ -443,6 +443,85 @@ def dtcwt_level1_analysis_ll_color(frames: jnp.ndarray, interpret: bool = False)
     return _valid(out, h0_, w0)
 
 
+def _kernel_ll_color_y(static, x_hbm, rsel_ref, s2_ref, o_ref):
+    """Y-only color-fused lowpass-only level 1 (see _kernel_ll_color): the
+    EMBED path analyzes only the Y channel (masks); the U delta is added
+    back in pixel space by linearity, so U is never transformed at all."""
+    h_total, chunk = static
+    j = pl.program_id(1)
+    b = pl.program_id(0)
+
+    from ..ops.color import M_FWD, OFF_FWD
+
+    def body(scratch, sem):
+        main = pl.multiple_of(j * STRIP, 8)
+        top = pl.multiple_of(jax.lax.rem(j * STRIP - HALO + h_total, h_total), 8)
+        bot = pl.multiple_of(jax.lax.rem((j + 1) * STRIP, h_total), 8)
+        c0 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(main, STRIP), :], scratch.at[:, pl.ds(HALO, STRIP), :],
+            sem.at[0])
+        c1 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(top, HALO), :], scratch.at[:, pl.ds(0, HALO), :],
+            sem.at[1])
+        c2 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(bot, HALO), :], scratch.at[:, pl.ds(HALO + STRIP, HALO), :],
+            sem.at[2])
+        c0.start(); c1.start(); c2.start()
+        c0.wait(); c1.wait(); c2.wait()
+
+        x = scratch[:].astype(jnp.int32).astype(jnp.float32)  # [3, S+2H, W]
+        m = STRIP // 2
+        h0 = _consts_l1(chunk)[2]
+        plane = (M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1]
+                 + M_FWD[0, 2] * x[2] + OFF_FWD[0])
+        rows_all = dot_exact(rsel_ref[:], plane, exact_side="left")
+        rows_all = rows_all * _consts_l1(chunk)[4]
+        rc = RollCache()
+        convs = [_col_conv(rows_all[rt * m : (rt + 1) * m], h0, rc)
+                 for rt in range(2)]
+        stacked = jnp.concatenate(convs, axis=0)
+        for ct in range(2):
+            dec = _decimate(stacked, s2_ref, ct, chunk)
+            for rt in range(2):
+                o_ref[0, rt * 2 + ct] = dec[rt * m : (rt + 1) * m]
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((3, STRIP + 2 * HALO, x_hbm.shape[-1]), jnp.uint8),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_level1_analysis_ll_y(frames: jnp.ndarray, interpret: bool = False):
+    """u8 frames [B, H, W, 3] -> [B, 4, H/2, W/2]: the 4 tree lowpasses of
+    the Y channel only, color lincomb fused in-kernel (embed mask path)."""
+    b, h0_, w0, _ = frames.shape
+    if not kernel_eligible(h0_, w0):
+        raise ValueError(f"shape {frames.shape} not kernel-eligible")
+    planes = jnp.moveaxis(frames, -1, 1)  # [B, 3, H, W] u8
+    planes = _wrap_pad(planes, h0_, w0)
+    h, w = planes.shape[-2:]
+    chunk = pick_chunk2(w)
+    rsel, s2, _, _, _ = _consts_l1(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_ll_color_y, (h, chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2 * STRIP, STRIP + 2 * HALO), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)
+
+
 # ---------------------------------------------------------------------------
 # Levels >= 2: same machinery with per-tree q-shift filters.  Input is the
 # 4 tree lowpasses [B, 4, h, w]; each tree's row filters fold into its own
@@ -631,6 +710,88 @@ def dtcwt_qshift_analysis(ll4: jnp.ndarray, interpret: bool = False):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4, jnp.asarray(rsel), jnp.asarray(s2))
+    return _valid(out, h0_, w0)
+
+
+def _kernel_q_hp(static, x_hbm, rsel_ref, s2_ref, o_ref):
+    """Highpass-only q-shift level: 12 output planes [lh*4, hl*4, hh*4].
+    The codecs' MASK path (q2c magnitudes of the Y level-2 subbands) never
+    reads the ll band — skipping it drops 4 of 16 column convs, a quarter
+    of the decimation matmul rows, and a quarter of the HBM writes."""
+    h_total, chunk = static
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def body(scratch, sem):
+        main = pl.multiple_of(j * STRIP, 8)
+        top = pl.multiple_of(jax.lax.rem(j * STRIP - QHALO + h_total, h_total), 8)
+        bot = pl.multiple_of(jax.lax.rem((j + 1) * STRIP, h_total), 8)
+        c0 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(main, STRIP), :],
+            scratch.at[:, pl.ds(QHALO, STRIP), :], sem.at[0])
+        c1 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(top, QHALO), :],
+            scratch.at[:, pl.ds(0, QHALO), :], sem.at[1])
+        c2 = pltpu.make_async_copy(
+            x_hbm.at[b, :, pl.ds(bot, QHALO), :],
+            scratch.at[:, pl.ds(QHALO + STRIP, QHALO), :], sem.at[2])
+        c0.start(); c1.start(); c2.start()
+        c0.wait(); c1.wait(); c2.wait()
+
+        filters = _consts_q(chunk)[2]
+        kq = STRIP + 2 * QHALO
+        m = STRIP // 2
+        xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
+        lohi = jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        # bands [lh, hl, hh] only: (lo, h1c), (hi, h0c), (hi, h1c)
+        convs = [None] * 12
+        for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+            lo = lohi[ci * STRIP : ci * STRIP + m]
+            hi = lohi[ci * STRIP + m : (ci + 1) * STRIP]
+            h0c, h1c = filters[ct]
+            rc = RollCache()
+            for band, (rows_, col_f) in enumerate(
+                [(lo, h1c), (hi, h0c), (hi, h1c)]
+            ):
+                convs[band * 4 + ci] = _col_conv(rows_, col_f, rc)
+        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk)
+        for p in range(12):
+            o_ref[0, p] = dec[p * m : (p + 1) * m]
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((4, STRIP + 2 * QHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_qshift_analysis_hp(ll4: jnp.ndarray, interpret: bool = False):
+    """f32 [B, 4, h, w] tree lowpasses -> [B, 12, h/2, w/2] highpass planes
+    [lh*4, hl*4, hh*4] (no ll band — the codec mask/coefficient paths)."""
+    b, t, h0_, w0 = ll4.shape
+    if t != 4 or not kernel_eligible(h0_, w0):
+        raise ValueError(f"needs 4 trees and a kernel-eligible shape; got {ll4.shape}")
+    ll4 = _wrap_pad(ll4, h0_, w0)
+    _, _, h, w = ll4.shape
+    chunk = pick_chunk2(w)
+    rsel, s2, _ = _consts_q(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_q_hp, (h, chunk)),
+        out_shape=jax.ShapeDtypeStruct((b, 12, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4 * STRIP, 4 * (STRIP + 2 * QHALO)), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 12, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(ll4, jnp.asarray(rsel), jnp.asarray(s2))

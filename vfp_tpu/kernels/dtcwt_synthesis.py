@@ -404,6 +404,102 @@ def _kernel_syn_l1_ll(static, x_hbm, rmat_ref, o_ref):
     )
 
 
+@lru_cache(maxsize=None)
+def _consts_syn_l1_hp():
+    """Highpass-only LeGall level-1 synthesis consts (ll band absent: the
+    decode path inverts a 1-level pyramid with a ZERO lowpass).  fi=0 row
+    groups carry only the lh band (2 planes per rt), fi=1 the hl+hh bands
+    (4 planes per rt)."""
+    g0, g1 = np.asarray(C.LEGALL_G0), np.asarray(C.LEGALL_G1)
+    roll = C.LEGALL_ROLL
+    rmat2 = np.stack([
+        np.kron(np.eye(2, dtype=np.float32), _row_matrix(g0, roll, rt))
+        for rt in range(2)])
+    rmat4 = np.stack([_bd4(_row_matrix(g1, roll, rt)) for rt in range(2)])
+    taps = {(ct, fi, p): _col_taps((g0, g1)[fi], ct, p)
+            for ct in range(2) for fi in range(2) for p in range(2)}
+    rmat2, s2 = exact_or_scaled(rmat2)
+    rmat4, s4 = exact_or_scaled(rmat4)
+    return rmat2, rmat4, taps, s2, s4
+
+
+def _kernel_syn_l1_hp(static, x_hbm, rmat2_ref, rmat4_ref, o_ref):
+    """Input planes [lh*4, hl*4, hh*4] (combo ci fastest); ll = 0."""
+    (hp,) = static
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+
+    def body(scratch, sem):
+        _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx=True)
+        _, _, taps, s2, s4 = _consts_syn_l1_hp()
+        rrows = {}  # keyed (band, ci), band in {1: lh, 2: hl, 3: hh}
+        for rt in range(2):
+            # fi=0 (g0 rows): lh planes only — input planes ci = 2rt, 2rt+1
+            stackx = jnp.concatenate([scratch[2 * rt], scratch[2 * rt + 1]],
+                                     axis=0)
+            res = (dot_exact(rmat2_ref[rt], stackx, exact_side="left") * s2
+                   if s2 is not None else
+                   jnp.dot(rmat2_ref[rt], stackx,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            for k in range(2):
+                rrows[(1, 2 * rt + k)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
+            # fi=1 (g1 rows): hl + hh planes — input planes (band-1)*4 + ci
+            planes = [(band, ci) for band in (2, 3) for ci in (2 * rt, 2 * rt + 1)]
+            stackx = jnp.concatenate(
+                [scratch[(band - 1) * 4 + ci] for band, ci in planes], axis=0)
+            res = (dot_exact(rmat4_ref[rt], stackx, exact_side="left") * s4
+                   if s4 is not None else
+                   jnp.dot(rmat4_ref[rt], stackx,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST))
+            for k, (band, ci) in enumerate(planes):
+                rrows[(band, ci)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
+        for p in range(2):
+            # column filters per band: lh -> g1, hl -> g0, hh -> g1
+            pairs = [
+                (rrows[(band, ci)], taps[(ct, (1, 0, 1)[band - 1], p)])
+                for ci, (rt, ct) in enumerate(_TREES)
+                for band in (1, 2, 3)
+            ]
+            o_ref[0, p] = _poly_col_sum(pairs) * 0.25
+
+    pl.run_scoped(
+        body,
+        scratch=pltpu.VMEM((12, SROWS + 2 * SHALO, x_hbm.shape[-1]), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((3,)),
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dtcwt_legall_synthesis_hp(subs12: jnp.ndarray, interpret: bool = False):
+    """[B, 12, h, w] level-1 highpass planes [lh*4, hl*4, hh*4] (zero
+    lowpass) -> [B, 2h, 2w] reconstruction, BEFORE final cropping.  The
+    codec decode inverts exactly this pyramid — skipping the ll band drops
+    a quarter of the DMA, row matmuls, and column taps."""
+    b, t, h, w = subs12.shape
+    if t != 12 or not synthesis_eligible(h, w):
+        raise ValueError(f"needs 12 planes and an eligible shape; got {subs12.shape}")
+    subs12, hp, wp = _prep(subs12, h, w)
+    rmat2, rmat4, _, _, _ = _consts_syn_l1_hp()
+    out = pl.pallas_call(
+        partial(_kernel_syn_l1_hp, (hp,)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
+        grid=(b, hp // SROWS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2, 4 * SROWS, 2 * (SROWS + 2 * SHALO)),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 8 * SROWS, 4 * (SROWS + 2 * SHALO)),
+                         lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 2 * SROWS, wp), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(subs12, jnp.asarray(rmat2), jnp.asarray(rmat4))
+    return _finish(out, h, w, C.LEGALL_ROLL)
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def dtcwt_qshift_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
     """[B, 4, h, w] tree lowpasses (highpasses all zero) -> [B, 4, 2h, 2w]

@@ -553,6 +553,25 @@ class Transform2d:
             return jnp.stack([ll[tc] for tc in _TREES], axis=-3), lvl_sizes
         return self._pack_planes(ll, subs), lvl_sizes
 
+    def analysis_qshift_hp(self, ll4):
+        """Highpass-only q-shift level: [..., 4, h, w] tree lowpasses ->
+        ([..., 12, h/2, w/2] planes [lh*4, hl*4, hh*4], pre_pad_size).
+        For consumers that never read the next ll band (the codec mask and
+        level-3 coefficient paths) — 4 of 16 column convs and a quarter of
+        the HBM writes skipped.  Falls back to slicing the full analysis."""
+        stack, lvl_sizes = _pad_even(jnp.asarray(ll4, jnp.float32))
+        h, w = stack.shape[-2:]
+        mode = self._kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_level1 import dtcwt_qshift_analysis_hp
+
+            lead = stack.shape[:-3]
+            planes = dtcwt_qshift_analysis_hp(
+                stack.reshape(-1, 4, h, w), interpret=mode)
+            return planes.reshape(*lead, 12, h // 2, w // 2), lvl_sizes
+        planes, lvl_sizes = self.analysis_qshift(ll4)
+        return planes[..., 4:, :, :], lvl_sizes
+
     def synthesis_qshift(self, planes16):
         """[..., 16, h, w] raw planes -> [..., 4, 2h, 2w] tree lowpasses of
         the level below (one q-shift synthesis level, before cropping)."""
@@ -602,6 +621,24 @@ class Transform2d:
             outs.append(jnp.roll(_along_rows(up2, lo, g0r, 0), rr, axis=-2))
         return jnp.stack(outs, axis=-3)
 
+    def synthesis_legall_hp(self, subs12):
+        """Highpass-only LeGall level-1 synthesis: [..., 12, h, w] planes
+        [lh*4, hl*4, hh*4] with an implicit ZERO lowpass -> [..., 2h, 2w]
+        (the codec decode's 1-level inverse).  Falls back to inverse_raw
+        with explicit zero ll planes off the kernel path."""
+        lead = subs12.shape[:-3]
+        h, w = subs12.shape[-2:]
+        mode = self._syn_kernel_mode(h, w)
+        if mode is not None:
+            from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis_hp
+
+            return dtcwt_legall_synthesis_hp(
+                subs12.reshape(-1, 12, h, w), interpret=mode
+            ).reshape(*lead, 2 * h, 2 * w)
+        zero_ll = jnp.zeros((*lead, 4, h, w), subs12.dtype)
+        return self.inverse_raw(
+            [jnp.concatenate([zero_ll, subs12], axis=-3)], sizes=None)
+
     def synthesis_legall_ll(self, ll4):
         """Lowpass-only LeGall level-1 synthesis: [..., 4, h, w] tree
         lowpasses -> [..., 2h, 2w] (4-tree average)."""
@@ -623,28 +660,32 @@ class Transform2d:
 
 
 def q2c_planes(planes):
-    """Raw [..., 16, h, w] -> complex subbands [..., h, w, 6]
-    (band order [LH+, LH-, HL+, HL-, HH+, HH-], matching Pyramid)."""
+    """Raw [..., 16, h, w] (or highpass-only [..., 12, h, w]) -> complex
+    subbands [..., h, w, 6] (band order [LH+, LH-, HL+, HL-, HH+, HH-],
+    matching Pyramid)."""
+    off = planes.shape[-3] - 12  # 4 for full planes, 0 for hp-only
     vals = []
     for band in range(3):
-        aa = planes[..., (band + 1) * 4 + 0, :, :]
-        ab = planes[..., (band + 1) * 4 + 1, :, :]
-        ba = planes[..., (band + 1) * 4 + 2, :, :]
-        bb = planes[..., (band + 1) * 4 + 3, :, :]
+        aa = planes[..., off + band * 4 + 0, :, :]
+        ab = planes[..., off + band * 4 + 1, :, :]
+        ba = planes[..., off + band * 4 + 2, :, :]
+        bb = planes[..., off + band * 4 + 3, :, :]
         zp, zm = _q2c(aa, ab, ba, bb)
         vals += [zp, zm]
     return jnp.stack(vals, axis=-1)
 
 
 def q2c_magnitudes(planes):
-    """Raw [..., 16, h, w] -> |subband| [..., 6, h, w] without materializing
-    complex intermediates (|zp| = 0.5 sqrt((aa-bb)^2 + (ab+ba)^2))."""
+    """Raw [..., 16, h, w] (or highpass-only [..., 12, h, w]) -> |subband|
+    [..., 6, h, w] without materializing complex intermediates
+    (|zp| = 0.5 sqrt((aa-bb)^2 + (ab+ba)^2))."""
+    off = planes.shape[-3] - 12
     out = []
     for band in range(3):
-        aa = planes[..., (band + 1) * 4 + 0, :, :]
-        ab = planes[..., (band + 1) * 4 + 1, :, :]
-        ba = planes[..., (band + 1) * 4 + 2, :, :]
-        bb = planes[..., (band + 1) * 4 + 3, :, :]
+        aa = planes[..., off + band * 4 + 0, :, :]
+        ab = planes[..., off + band * 4 + 1, :, :]
+        ba = planes[..., off + band * 4 + 2, :, :]
+        bb = planes[..., off + band * 4 + 3, :, :]
         out.append(0.5 * jnp.sqrt((aa - bb) ** 2 + (ab + ba) ** 2))
         out.append(0.5 * jnp.sqrt((aa + bb) ** 2 + (ab - ba) ** 2))
     return jnp.stack(out, axis=-3)

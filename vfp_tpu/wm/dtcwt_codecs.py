@@ -145,11 +145,19 @@ class _DtcwtBase:
             return self._embed_channel_raw_generic(y, u, wm_hp)
         t = Transform2d()
         y_ll1, s0 = t.analysis_level1(y, lowpass_only=True)
-        y_p2, s1 = t.analysis_qshift(y_ll1)
-        h2, w2 = y_p2.shape[-2], y_p2.shape[-1]
+        return u + self._embed_delta_from_ll1(y_ll1, wm_hp, s0)
+
+    def _embed_delta_from_ll1(self, y_ll1: jnp.ndarray, wm_hp: jnp.ndarray,
+                              s0) -> jnp.ndarray:
+        """Y tree lowpasses [B, 4, h1, w1] -> pixel-space U delta [B, H, W]
+        (cropped to ``s0``).  The Y level-2 analysis runs highpass-only:
+        the mask path never reads its ll band."""
+        t = Transform2d()
+        y_hp2, s1 = t.analysis_qshift_hp(y_ll1)
+        h2, w2 = y_hp2.shape[-2], y_hp2.shape[-1]
         # level-3 grid geometry (_pad_even rules), without running level 3
         shape3 = ((h2 + 1) // 2, (w2 + 1) // 2)
-        masks = self._masks3_from_mags(q2c_magnitudes(y_p2), shape3)
+        masks = self._masks3_from_mags(q2c_magnitudes(y_hp2), shape3)
         wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
         wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
         delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
@@ -159,8 +167,7 @@ class _DtcwtBase:
              dsubs], axis=-3)
         dll2 = t.synthesis_qshift(d3)[..., :h2, :w2]
         dll1 = t.synthesis_qshift_ll(dll2)[..., : s1[0], : s1[1]]
-        du = t.synthesis_legall_ll(dll1)[..., : s0[0], : s0[1]]
-        return u + du
+        return t.synthesis_legall_ll(dll1)[..., : s0[0], : s0[1]]
 
     def _decode_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """Decode needs only: Y level-2 subbands (masks) and U level-3
@@ -176,19 +183,17 @@ class _DtcwtBase:
 
     def _decode_from_ll1(self, y_ll1: jnp.ndarray, u_ll1: jnp.ndarray) -> jnp.ndarray:
         t = Transform2d()
-        y_p2, _ = t.analysis_qshift(y_ll1)
+        y_hp2, _ = t.analysis_qshift_hp(y_ll1)  # masks never read the ll band
         u_ll2, _ = t.analysis_qshift(u_ll1, lowpass_only=True)
-        u_p3, _ = t.analysis_qshift(u_ll2)
-        shape3 = (u_p3.shape[-2], u_p3.shape[-1])
-        masks = self._masks3_from_mags(q2c_magnitudes(y_p2), shape3,
+        u_hp3, _ = t.analysis_qshift_hp(u_ll2)  # only the subband coeffs used
+        shape3 = (u_hp3.shape[-2], u_hp3.shape[-1])
+        masks = self._masks3_from_mags(q2c_magnitudes(y_hp2), shape3,
                                        zero_guard=True)
-        coeff = q2c_planes(u_p3) / masks.astype(jnp.complex64) / self.alpha
+        coeff = q2c_planes(u_hp3) / masks.astype(jnp.complex64) / self.alpha
         hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
         folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
         folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
-        zero_ll = jnp.zeros((u_ll1.shape[0], 4, hh, ww), jnp.float32)
-        level1 = jnp.concatenate([zero_ll, c2q_subs(folded)], axis=-3)
-        return t.inverse_raw([level1], sizes=None)
+        return t.synthesis_legall_hp(c2q_subs(folded))
 
     def _embed_channel_raw_generic(self, y, u, wm_hp):
         """nlevels != 3 fallback: full joint raw pyramid, no level skipping."""
@@ -217,9 +222,7 @@ class _DtcwtBase:
         hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
         folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
         folded = jnp.moveaxis(folded, 1, -1)
-        zero_ll = jnp.zeros((u.shape[0], 4, hh, ww), jnp.float32)
-        level1 = jnp.concatenate([zero_ll, c2q_subs(folded)], axis=-3)
-        return t.inverse_raw([level1], sizes=None)
+        return t.synthesis_legall_hp(c2q_subs(folded))
 
     # -- channel-level embed/decode ------------------------------------------
     def _embed_channel(self, y: jnp.ndarray, u: jnp.ndarray, wm_hp: jnp.ndarray) -> jnp.ndarray:
@@ -269,10 +272,26 @@ class _DtcwtBase:
         reference's float color roundtrip is the identity after rounding,
         so reconstructing via yuv_to_bgr(bgr_to_yuv(x)) is pure glue.
         """
-        f32 = jnp.asarray(frames).astype(jnp.float32)
+        frames = jnp.asarray(frames)
         wm_hp = self.wm_highpass(
             jnp.asarray(wm).reshape(self.wm_capacity(frames.shape[1:]))
         )
+        if self.nlevels == 3 and frames.dtype == jnp.uint8:
+            # color-fused fast path: the embed delta depends only on the Y
+            # lowpass tree (masks) and the watermark, and is added back in
+            # pixel space by linearity — so neither a full-resolution
+            # bgr_to_yuv pass nor the U channel itself is ever materialized
+            h, w = frames.shape[1], frames.shape[2]
+            mode = Transform2d()._kernel_mode(h, w)
+            if mode is not None:
+                from ..kernels.dtcwt_level1 import dtcwt_level1_analysis_ll_y
+
+                y_ll1 = dtcwt_level1_analysis_ll_y(frames, interpret=mode)
+                du = self._embed_delta_from_ll1(y_ll1, wm_hp, (h, w))
+                marked = frames.astype(jnp.float32) + du[..., None] * jnp.asarray(
+                    M_BWD[:, 1])
+                return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
+        f32 = frames.astype(jnp.float32)
         yuv = bgr_to_yuv(f32)
         u = yuv[..., 1]
         u_new = self._embed_channel_raw(yuv[..., 0], u, wm_hp)
