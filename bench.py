@@ -20,6 +20,13 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+# persistent compile cache: repeat runs (and the driver's end-of-round run
+# after a warm suite) skip the multi-minute 1-core XLA compiles
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 H, W = 1080, 1920
 BASELINE_FILE = REPO / "BENCH_BASELINE.json"
 

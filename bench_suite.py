@@ -29,6 +29,13 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
+# persistent compile cache (same dir as tests/conftest.py): repeated suite
+# runs skip the multi-minute 1-core XLA compiles
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def natural_frames(rng, b, h, w):
     import numpy as np
