@@ -79,19 +79,51 @@ def _consts8(chunk: int):
     kp = np.ascontiguousarray((k @ perm).astype(np.float32))
     d8 = dct_matrix(8)
     basis = np.outer(d8[2], d8[1]).astype(np.float32)  # idct2 of e2 e1^T: [8, 8]
-    return s, st, kp, basis
+
+    # -- component-major constants (all permutations folded, zero runtime
+    # row reordering; see fused_embed._consts for the same trick) --
+    # k2: TWO Y block-rows' DCTs in one full [128, 128] matmul, output rows
+    # INTERLEAVED (q*2 + t for pair member t) so the mask math runs on
+    # 2-sublane component slices.  Input layout: concat over c of
+    # sel[c][16m : 16m + 16] -> row c*16 + t*8 + r.
+    kron2 = np.kron(np.eye(2, dtype=np.float32), kp)  # rows t*64+q, cols t*64+c*8+r
+    p2 = np.zeros((128, 128), np.float32)
+    q2 = np.zeros((128, 128), np.float32)
+    for t in range(2):
+        for qi in range(64):
+            p2[qi * 2 + t, t * 64 + qi] = 1.0
+        for c in range(8):
+            for r in range(8):
+                q2[t * 64 + c * 8 + r, c * 16 + t * 8 + r] = 1.0
+    k2 = np.ascontiguousarray((p2 @ kron2 @ q2).astype(np.float32))
+    # w17: U-channel DCT coefficient [2][1] for ALL NBR block-rows in one
+    # matmul — the QIM path never reads any other U component.  Input
+    # layout: concat over c of sel[c][64:128] -> row c*64 + br*8 + r.
+    w17 = np.zeros((NBR, 8 * STRIP), np.float32)
+    for br in range(NBR):
+        for c in range(8):
+            for r in range(8):
+                w17[br, c * 64 + br * 8 + r] = kp[17, c * 8 + r]
+    # b2: rank-1 spatial update as ONE [STRIP, 64] matmul over the stacked
+    # amp selections (rows c*NBR + br) -> du rows br*8 + r; replaces 64
+    # single-row concatenations and 64 scalar-multiply VPU rounds.
+    b2 = np.zeros((STRIP, 8 * NBR), np.float32)
+    for br in range(NBR):
+        for r in range(8):
+            for c in range(8):
+                b2[br * 8 + r, c * NBR + br] = basis[r, c]
+    # per-tile |coef| sums of an interleaved pair: sumsel[t, q*2+t] = 1
+    sumsel = np.zeros((2, 128), np.float32)
+    for t in range(2):
+        for qi in range(64):
+            sumsel[t, qi * 2 + t] = 1.0
+    return s, st, kp, basis, k2, w17, b2, sumsel
 
 
-def _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk):
-    """Both channels' [STRIP, W] -> DCT coeffs [64, nbw] per (chan, br).
-
-    All 8 (channel x block-row) tiles share ONE stacked [64, chunk] selection
-    matmul per (c, chunk) — the per-(chan, br) M=8 formulation ran 8x more
-    matmul invocations at 1/8 the row fill and dominated the kernel.  The
-    8-row groups then concat c-major (8-aligned sublane slices) and k_ref
-    (with the r-major permutation folded in) gives [r*8+c]-ordered
-    coefficients per tile.
-    """
+def _select_blocks(yp, up, s_ref, n_chunks, chunk):
+    """Both channels' [STRIP, W] -> 8 in-block-column selections
+    [2*STRIP, nbw] (row chan*STRIP + br*8 + r), stacked so each selection
+    matmul runs at full M=128 row fill."""
     yu = jnp.concatenate([yp, up], axis=0)  # [2*STRIP, W]; row chan*STRIP + br*8 + r
     sel = []
     for c in range(8):
@@ -101,44 +133,56 @@ def _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk):
             for l in range(n_chunks)
         ]
         sel.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
-    out = {}
-    for chan in range(2):
-        for br in range(NBR):
-            base = chan * STRIP + br * 8
-            m = jnp.concatenate([sel[c][base : base + 8, :] for c in range(8)],
-                                axis=0)  # [64, nbw] c-major spatial
-            out[(chan, br)] = jnp.dot(k_ref[:], m, preferred_element_type=jnp.float32,
-                                      precision=jax.lax.Precision.HIGHEST)
-    return out
+    return sel
 
 
-def _masks_from_y(yd):
-    """Per-block luminance DC [1, nbw] and texture mask [1, nbw] from Y DCT
-    coefficients [64, nbw] (reference: dct_encoder.py:41-102)."""
-    c = jnp.abs(yd)
+def _y_masks8(sel, k2_ref, sumsel_ref, mean):
+    """All NBR Y block-rows' QIM step masks [NBR, nbw], via NBR/2 paired
+    [128, 128] DCT matmuls with interleaved component-major output
+    (reference: dct_encoder.py:41-102).  Mask math runs on 2-sublane
+    component slices instead of NBR single-row passes."""
+    dcs, texs = [], []
+    for m in range(NBR // 2):
+        ym = jnp.concatenate([sel[ci][16 * m : 16 * m + 16] for ci in range(8)],
+                             axis=0)  # [128, nbw], row c*16 + t*8 + r
+        d2 = jnp.dot(k2_ref[:], ym, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)  # rows q*2 + t
+        c = jnp.abs(d2)
 
-    def at(r, col):
-        return c[r * 8 + col : r * 8 + col + 1, :]
+        def at(r, col):
+            i = 2 * (r * 8 + col)
+            return c[i : i + 2, :]
 
-    dcl = at(0, 0) + at(0, 1) + at(0, 2) + at(1, 0) + at(1, 1) + at(2, 0)
-    eh = jnp.sum(c, axis=0, keepdims=True) - dcl
-    e = (at(3, 0) + at(4, 0) + at(5, 0) + at(6, 0)
-         + at(0, 3) + at(0, 4) + at(0, 5) + at(0, 6)
-         + at(2, 1) + at(1, 2) + at(2, 2) + at(3, 3))
-    h = eh - e
-    l = dcl - at(0, 0)
-    l_e = l / e
-    le_h = (l + e) / h
+        dcl = at(0, 0) + at(0, 1) + at(0, 2) + at(1, 0) + at(1, 1) + at(2, 0)
+        eh = jnp.dot(sumsel_ref[:], c, preferred_element_type=jnp.float32) - dcl
+        e = (at(3, 0) + at(4, 0) + at(5, 0) + at(6, 0)
+             + at(0, 3) + at(0, 4) + at(0, 5) + at(0, 6)
+             + at(2, 1) + at(1, 2) + at(2, 2) + at(3, 3))
+        h = eh - e
+        l = dcl - at(0, 0)
+        l_e = l / e
+        le_h = (l + e) / h
 
-    def edge(a, b):
-        return ((l_e >= a) & (le_h >= b)) | ((l_e >= b) & (le_h >= a)) | (le_h > 4.0)
+        def edge(a, b):
+            return ((l_e >= a) & (le_h >= b)) | ((l_e >= b) & (le_h >= a)) | (le_h > 4.0)
 
-    edge_val = jnp.where(l + e <= 400.0, 1.125, 1.25)
-    ramp = 1.0 + 1.25 * (eh - 290.0) / (1800.0 - 290.0)
-    hi = jnp.where(edge(1.4, 1.1), edge_val, ramp)
-    lo = jnp.where(edge(2.3, 1.6), edge_val, jnp.where(e + h > 290.0, ramp, 1.0))
-    tex = jnp.where(eh > 125.0, jnp.where(eh > 900.0, hi, lo), 1.0)
-    return yd[0:1, :], tex  # raw DC (not /8) and texture mask
+        edge_val = jnp.where(l + e <= 400.0, 1.125, 1.25)
+        ramp = 1.0 + 1.25 * (eh - 290.0) / (1800.0 - 290.0)
+        hi = jnp.where(edge(1.4, 1.1), edge_val, ramp)
+        lo = jnp.where(edge(2.3, 1.6), edge_val, jnp.where(e + h > 290.0, ramp, 1.0))
+        texs.append(jnp.where(eh > 125.0, jnp.where(eh > 900.0, hi, lo), 1.0))
+        dcs.append(d2[0:2, :])  # raw signed DC rows (components (0,0))
+    tex = jnp.concatenate(texs, axis=0)  # [NBR, nbw]
+    dc = jnp.concatenate(dcs, axis=0)
+    return tex * _lum_mask(dc, mean)
+
+
+def _u17(sel, w17_ref):
+    """U-channel DCT coefficient [2][1] for all NBR block-rows: [NBR, nbw]."""
+    u_cstack = jnp.concatenate([sel[ci][STRIP:] for ci in range(8)],
+                               axis=0)  # [8*STRIP, nbw], row c*64 + br*8 + r
+    return jnp.dot(w17_ref[:], u_cstack, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _lum_mask(dc, mean):
@@ -152,7 +196,8 @@ def _lum_mask(dc, mean):
     )
 
 
-def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, o_ref):
+def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref,
+                  w17_ref, b2_ref, sum_ref, o_ref):
     alpha, nbh, nbw_real, chunk = static
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
@@ -164,43 +209,36 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
     yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
     up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
 
-    wm = wm_ref[0]  # [4, nbw]
+    wm = wm_ref[0]  # [NBR, nbw]
     # zero the QIM amplitude outside the true block grid: all-zero padded
     # block columns make the perceptual masks 0/0 = NaN, which would poison
     # every lane through the scatter matmuls below
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (1, nbw), 1)
-    dct = _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk)
-    amps = []
-    for br in range(NBR):
-        dc, tex = _masks_from_y(dct[(0, br)])
-        mask = tex * _lum_mask(dc, mean)
-        step = alpha * mask
-        step2 = step + step
-        v = dct[(1, br)][17:18, :]  # coefficient [2][1]
-        base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
-        v_new = jnp.where(wm[br : br + 1, :] == 0.0, base, base + jnp.sign(v) * step)
-        amps.append(jnp.where((bcol < nbw_real) & (j * NBR + br < nbh), v_new - v, 0.0))
-    # scatter-back: all four block-rows' amplitudes ride each selection
-    # matmul (M=4) and the 8x8 IDCT basis combine runs on [4, W] operands
-    # (same vreg count as [1, W] — sublane packing makes the 4 rows free)
-    amp4 = jnp.concatenate(amps, axis=0)  # [NBR, nbw], row br
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 1)
+    brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
+    sel = _select_blocks(yp, up, s_ref, n_chunks, chunk)
+    # component-major QIM: masks, U coefficient, and the QIM rule all run
+    # ONCE on [NBR, nbw] tiles (previously NBR separate 1-sublane passes)
+    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean)
+    v = _u17(sel, w17_ref)
+    step2 = step + step
+    base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
+    v_new = jnp.where(wm == 0.0, base, base + jnp.sign(v) * step)
+    amps = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), v_new - v, 0.0)
+    # scatter-back: the selection matmuls run at M=NBR, then ONE [STRIP, 64]
+    # matmul against the stacked selections applies the rank-1 IDCT basis
+    # and emits du directly in row order br*8 + r (the previous formulation
+    # ran 64 scalar-multiply VPU rounds + 64 single-row concatenations)
     amp_sc = []
     for c in range(8):
         outs = [
-            jnp.dot(amp4[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
+            jnp.dot(amps[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
                     preferred_element_type=jnp.float32)
             for l in range(n_chunks)
         ]
         amp_sc.append(outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1))
-    du_rows = []
-    for r in range(8):
-        acc = amp_sc[0] * b_ref[r, 0]
-        for c in range(1, 8):
-            acc = acc + amp_sc[c] * b_ref[r, c]
-        du_rows.append(acc)  # [NBR, W]: row br holds du8[br][r]
-    du = jnp.concatenate(
-        [du_rows[r][br : br + 1, :] for br in range(NBR) for r in range(8)], axis=0
-    )  # [STRIP, W]
+    amp_stack = jnp.concatenate(amp_sc, axis=0)  # [8*NBR, W], row c*NBR + br
+    du = jnp.dot(b2_ref[:], amp_stack, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)  # [STRIP, W], row br*8+r
 
     yuv = [yp, up + du,
            M_FWD[2, 0] * x[0] + M_FWD[2, 1] * x[1] + M_FWD[2, 2] * x[2] + OFF_FWD[2]]
@@ -215,7 +253,7 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k_ref, b_ref, 
     )
 
 
-def _decode_kernel(static, x_ref, mean_ref, s_ref, k_ref, o_ref):
+def _decode_kernel(static, x_ref, mean_ref, s_ref, k2_ref, w17_ref, sum_ref, o_ref):
     alpha, chunk = static
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
     w = x.shape[-1]
@@ -223,15 +261,10 @@ def _decode_kernel(static, x_ref, mean_ref, s_ref, k_ref, o_ref):
     mean = mean_ref[pl.program_id(0), 0]
     yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
     up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
-    dct = _block_dct_all(yp, up, s_ref, k_ref, n_chunks, chunk)
-    bits = []
-    for br in range(NBR):
-        dc, tex = _masks_from_y(dct[(0, br)])
-        step = alpha * tex * _lum_mask(dc, mean)
-        bits.append(
-            (jnp.mod(jnp.round(dct[(1, br)][17:18, :] / step), 2.0) == 1.0).astype(jnp.float32)
-        )
-    o_ref[0, 0] = jnp.concatenate(bits, axis=0)  # [NBR, nbw]
+    sel = _select_blocks(yp, up, s_ref, n_chunks, chunk)
+    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean)
+    v = _u17(sel, w17_ref)
+    o_ref[0, 0] = (jnp.mod(jnp.round(v / step), 2.0) == 1.0).astype(jnp.float32)
 
 
 def _dc_mean_kernel(x_ref, o_ref):
@@ -276,7 +309,7 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
     wm3d = jnp.pad(wm2d.astype(jnp.float32),
                    ((0, strips * NBR - nbh), (0, nbw - nbw_real)))
     wm3d = wm3d.reshape(strips, NBR, nbw)
-    s, st, k, basis = _consts8(chunk)
+    s, st, _, _, k2, w17, b2, sumsel = _consts8(chunk)
     out = pl.pallas_call(
         partial(_embed_kernel, (float(alpha), nbh, nbw_real, chunk)),
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
@@ -290,14 +323,16 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk // 8, chunk), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 8), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBR, 8 * STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((STRIP, 8 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(planes, wm3d, means, jnp.asarray(s), jnp.asarray(st), jnp.asarray(k),
-      jnp.asarray(basis))
+    )(planes, wm3d, means, jnp.asarray(s), jnp.asarray(st), jnp.asarray(k2),
+      jnp.asarray(w17), jnp.asarray(b2), jnp.asarray(sumsel))
     return out if wp == w else out[:, :, :, :w]
 
 
@@ -319,7 +354,7 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
     means = _y_dc_mean(planes, h8, w8)[:, None]
     if wp != w:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
-    s, st, k, basis = _consts8(chunk)
+    s, st, _, _, k2, w17, _, sumsel = _consts8(chunk)
     out = pl.pallas_call(
         partial(_decode_kernel, (float(alpha), chunk)),
         out_shape=jax.ShapeDtypeStruct((b, strips, NBR, nbw), jnp.float32),
@@ -330,10 +365,13 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, 64), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBR, 8 * STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, NBR, nbw), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(planes, means, jnp.asarray(s), jnp.asarray(k))
+    )(planes, means, jnp.asarray(s), jnp.asarray(k2), jnp.asarray(w17),
+      jnp.asarray(sumsel))
     return out.reshape(b, strips * NBR, nbw)[:, :nbh, :nbw_real]
