@@ -326,9 +326,11 @@ def bench_dtcwtimg_1080p(quick):
     b = 4 if quick else 8
     frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
     h, w = codec.wm_capacity((1080, 1920, 3))
-    # block-structured visible mark (what BlockShuffler produces)
+    # block-structured visible mark (what BlockShuffler produces): 0-255
+    # grayscale scale — at alpha=1.5 a 0/1-valued image embeds sub-1-LSB
+    # pixel deltas that uint8 rounding destroys
     wm = jnp.asarray(np.kron(rng.randint(0, 2, (h // 8, w // 8)),
-                             np.ones((8, 8)))[:h, :w], jnp.float32)
+                             np.ones((8, 8)))[:h, :w] * 255.0, jnp.float32)
 
     marked = codec.mark_frames(frames, wm)
     rec = np.asarray(codec.extract_frames(marked))
@@ -623,6 +625,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="default", choices=["default", "cpu"])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated config-name substrings to run; "
+                         "existing bench_suite_report.json entries are kept")
     args = ap.parse_args()
     if args.platform == "cpu":
         import jax
@@ -640,6 +645,9 @@ def main():
     print(f"link warmup: {time.perf_counter() - t0:.1f}s", flush=True)
 
     report = {}
+    if args.only and Path("bench_suite_report.json").exists():
+        report = json.loads(Path("bench_suite_report.json").read_text())
+    wanted = args.only.split(",") if args.only else None
     for name, fn in [
         ("roundtrip_480p", bench_roundtrip_480p),
         ("embed_1080p_chip", bench_embed_1080p),
@@ -656,6 +664,8 @@ def main():
         ("leak_trace", bench_leak_trace),
         ("concurrent_serve", bench_concurrent_serve),
     ]:
+        if wanted is not None and not any(s in name for s in wanted):
+            continue
         t0 = time.perf_counter()
         try:
             report[name] = fn(args.quick)
