@@ -334,8 +334,12 @@ def bench_dtcwtimg_1080p(quick):
 
     marked = codec.mark_frames(frames, wm)
     rec = np.asarray(codec.extract_frames(marked))
-    corr = float(np.corrcoef(
-        rec.reshape(b, -1).mean(0), np.asarray(wm).reshape(-1))[0, 1])
+    mean_rec = rec.reshape(b, -1).mean(0)
+    wm_flat = np.asarray(wm).reshape(-1)
+    corr = float(np.corrcoef(mean_rec, wm_flat)[0, 1])
+    # thresholded pixel agreement of the recovered visible image (the
+    # BlockShuffler pairing's decision statistic)
+    agree = float(np.mean((mean_rec > np.median(mean_rec)) == (wm_flat > 127)))
 
     @partial(jax.jit, static_argnums=2)
     def loop(x, wm, n):
@@ -365,7 +369,8 @@ def bench_dtcwtimg_1080p(quick):
     ext_fps = b * iters / (time.perf_counter() - t0)
     return {"batch": b, "mark_fps_chip": round(mark_fps, 1),
             "extract_fps_chip": round(ext_fps, 1),
-            "extract_correlation": round(corr, 4)}
+            "extract_correlation": round(corr, 4),
+            "image_agreement": round(agree, 4)}
 
 
 def bench_dctqim_1080p(quick):

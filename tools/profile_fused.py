@@ -42,8 +42,10 @@ STAGES = ["full", "cast", "color", "llr_select", "dct", "triplet",
 
 
 def _dep_i32(val):
-    """i32 term that is always 0 but depends on ``val`` (defeats DCE)."""
-    return (jnp.abs(val[:1, :1]) > 1e30).astype(jnp.int32)
+    """Rank-0 i32 term that is always 0 but depends on ``val`` (defeats
+    DCE).  Must be a SCALAR: Mosaic cannot broadcast a [1, 1] vector in
+    both sublanes and lanes, but vector-scalar adds lower fine."""
+    return (jnp.sum(val[:1, :1]) > 1e30).astype(jnp.int32)
 
 
 def _to_u8(planes_f32, dep=None):
@@ -91,20 +93,20 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
         ]
         mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
     if stage == "llr_select":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(mc[0])[None])
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(mc[0]))
         return
 
     m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
     d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)  # component-major DCT
     if stage == "dct":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(d_cm)[None])
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(d_cm))
         return
 
     s0, u, v, rows = _triplet_core(
         [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
     if stage == "triplet":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(s0)[None])
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(s0))
         return
 
     wm = wm_ref[0]
@@ -117,7 +119,7 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
     dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST)
     if stage == "qim_idct":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(dm_c)[None])
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(dm_c))
         return
 
     dllrows = None
@@ -132,7 +134,7 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
         dllrows = contrib if dllrows is None else dllrows + contrib
     du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
     if stage == "scatter":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(du)[None])
+        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(du))
         return
 
     yuv[chan] = yuv[chan] + du
