@@ -210,16 +210,25 @@ def main():
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
+    # Two-point slope: trial(n) wall = call_overhead + n * t_iter, and the
+    # relay's per-call overhead is large and VARIABLE (0.02 s to multi-
+    # second stalls) — the (n2 - n1) slope of min-of-3 trials cancels it.
+    n1, n2 = args.iters // 4, args.iters // 4 + args.iters
     results = {}
     for stage in STAGES:
         int(loop(planes, wm2d, stage, 2))  # compile + warm
-        t0 = time.perf_counter()
-        int(loop(planes, wm2d, stage, args.iters))
-        dt = time.perf_counter() - t0
-        per_frame_us = dt / (args.iters * b) * 1e6
+        times = {}
+        for n in (n1, n2):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                int(loop(planes, wm2d, stage, n))
+                best = min(best, time.perf_counter() - t0)
+            times[n] = best
+        per_frame_us = (times[n2] - times[n1]) / (args.iters * b) * 1e6
         results[stage] = round(per_frame_us, 1)
         print(f"{stage:>10}: {per_frame_us:8.1f} us/frame "
-              f"({b * args.iters / dt:8.1f} fps)", flush=True)
+              f"({b * args.iters / (times[n2] - times[n1]):8.1f} fps)", flush=True)
 
     print("\ncumulative-stage deltas (us/frame):")
     prev = 0.0
