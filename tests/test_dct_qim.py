@@ -119,7 +119,10 @@ class TestFusedDctQim:
                                interpret=True)
         ).transpose(0, 2, 3, 1)
         want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
-        np.testing.assert_array_equal(got, want)  # pixel-exact vs XLA path
+        # delta-identity epilogue: +-1 only where the multi-op roundtrip's
+        # epsilon (< 0.07) straddles a .5 boundary; bits must stay exact
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.98
         bits = np.asarray(
             fused_dct_qim_extract(jnp.asarray(got.transpose(0, 3, 1, 2)), 20.0,
                                   interpret=True)
@@ -135,8 +138,10 @@ class TestFusedDctQim:
 
     def test_padded_width_pixel_exact(self, rng):
         """W=856 (prime block count, the round-1 VMEM OOM shape): the
-        zero-pad path must stay pixel-exact — all-zero padded blocks make
-        the perceptual masks 0/0 = NaN, which the kernel must contain."""
+        zero-pad path must stay within the +-1 epilogue tolerance — all-zero
+        padded blocks make the perceptual masks 0/0 = NaN, which the kernel
+        must contain (a NaN leak would blow the max-diff bound, not just
+        flip borderline pixels)."""
         import jax.numpy as jnp
         from vfp_tpu.kernels.fused_dct_qim import (
             MAX_CHUNK, MAX_CHUNKS, fused_dct_qim_extract, fused_dct_qim_mark,
@@ -158,7 +163,8 @@ class TestFusedDctQim:
                                interpret=True)
         ).transpose(0, 2, 3, 1)
         want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
-        np.testing.assert_array_equal(got, want)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.98  # see note above
         bits = np.asarray(
             fused_dct_qim_extract(jnp.asarray(got.transpose(0, 3, 1, 2)), 20.0,
                                   interpret=True))

@@ -68,22 +68,18 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
         o_ref[0] = _to_u8(x)
         return
 
-    yuv = [
-        M_FWD[k, 0] * x[0] + M_FWD[k, 1] * x[1] + M_FWD[k, 2] * x[2] + OFF_FWD[k]
-        for k in range(3)
-    ]
-    out = [
-        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
-        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
-        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
-        for k in range(3)
-    ]
+    # production kernel computes ONE forward lincomb (the embed channel);
+    # every peeled stage emits _to_u8(x) (+ dep) so the fixed emit cost is
+    # identical across stages and deltas attribute the peeled work alone
+    cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
     if stage == "color":
-        o_ref[0] = _to_u8(jnp.stack(out))
+        o_ref[0] = _to_u8(x, _dep_i32(cp))
         return
 
-    cp = yuv[chan]
     llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)
+    off2 = 2.0 * float(OFF_FWD[chan])
+    if off2:
+        llr = llr + off2
     mc = []
     for c in range(4):
         segs = [
@@ -91,22 +87,21 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
                     preferred_element_type=jnp.float32)
             for l in range(n_chunks)
         ]
-        mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
+        mc.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
     if stage == "llr_select":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(mc[0]))
+        o_ref[0] = _to_u8(x, _dep_i32(mc[0]))
         return
 
     m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
-    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # component-major DCT
+    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32)  # component-major DCT
     if stage == "dct":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(d_cm))
+        o_ref[0] = _to_u8(x, _dep_i32(d_cm))
         return
 
     s0, u, v, rows = _triplet_core(
         [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
     if stage == "triplet":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(s0))
+        o_ref[0] = _to_u8(x, _dep_i32(s0))
         return
 
     wm = wm_ref[0]
@@ -116,10 +111,9 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
     ds = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), s_new - s0, 0.0)
     ddct_cm = jnp.concatenate(
         [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0)
-    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32)
     if stage == "qim_idct":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(dm_c))
+        o_ref[0] = _to_u8(x, _dep_i32(dm_c))
         return
 
     dllrows = None
@@ -132,19 +126,21 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
         ]
         contrib = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
         dllrows = contrib if dllrows is None else dllrows + contrib
-    du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
+    du = jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
     if stage == "scatter":
-        o_ref[0] = _to_u8(jnp.stack(out), _dep_i32(du))
+        o_ref[0] = _to_u8(x, _dep_i32(du))
         return
 
-    yuv[chan] = yuv[chan] + du
-    out = [
-        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
-        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
-        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
-        for k in range(3)
-    ]
-    o_ref[0] = _to_u8(jnp.stack(out))
+    # delta-identity epilogue, mirroring kernels/fused_embed.py
+    for k in range(3):
+        mk = float(M_BWD[k, chan])
+        if mk == 0.0:
+            o_ref[0, k] = x_ref[0, k]
+        else:
+            o_ref[0, k] = (
+                jnp.round(jnp.clip(x[k] + mk * du, 0.0, 255.0))
+                .astype(jnp.int32).astype(jnp.uint8)
+            )
 
 
 @partial(jax.jit, static_argnames=("stage", "chan", "scale"))

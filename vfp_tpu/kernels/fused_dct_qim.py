@@ -145,8 +145,10 @@ def _y_masks8(sel, k2_ref, sumsel_ref, mean):
     for m in range(NBR // 2):
         ym = jnp.concatenate([sel[ci][16 * m : 16 * m + 16] for ci in range(8)],
                              axis=0)  # [128, nbw], row c*16 + t*8 + r
-        d2 = jnp.dot(k2_ref[:], ym, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)  # rows q*2 + t
+        # Mosaic DEFAULT contract (bf16x3-class; HIGH isn't lowered):
+        # coefficient-sum error ~1e-2 vs mask thresholds spread over
+        # O(1000) — fewer passes on the dominant matmul
+        d2 = jnp.dot(k2_ref[:], ym, preferred_element_type=jnp.float32)  # rows q*2 + t
         c = jnp.abs(d2)
 
         def at(r, col):
@@ -181,8 +183,7 @@ def _u17(sel, w17_ref):
     """U-channel DCT coefficient [2][1] for all NBR block-rows: [NBR, nbw]."""
     u_cstack = jnp.concatenate([sel[ci][STRIP:] for ci in range(8)],
                                axis=0)  # [8*STRIP, nbw], row c*64 + br*8 + r
-    return jnp.dot(w17_ref[:], u_cstack, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(w17_ref[:], u_cstack, preferred_element_type=jnp.float32)
 
 
 def _lum_mask(dc, mean):
@@ -237,20 +238,23 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref,
         ]
         amp_sc.append(outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1))
     amp_stack = jnp.concatenate(amp_sc, axis=0)  # [8*NBR, W], row c*NBR + br
-    du = jnp.dot(b2_ref[:], amp_stack, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # [STRIP, W], row br*8+r
+    du = jnp.dot(b2_ref[:], amp_stack, preferred_element_type=jnp.float32)  # [STRIP, W], row br*8+r
 
-    yuv = [yp, up + du,
-           M_FWD[2, 0] * x[0] + M_FWD[2, 1] * x[1] + M_FWD[2, 2] * x[2] + OFF_FWD[2]]
-    out = [
-        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
-        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
-        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
-        for k in range(3)
-    ]
-    o_ref[0] = (
-        jnp.round(jnp.clip(jnp.stack(out), 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
-    )
+    # Delta-identity epilogue (see kernels/fused_embed.py): the color
+    # roundtrip is affine and rounds back to x exactly for integer pixels,
+    # so marked = x + du * M_BWD[:, 1].  The V-channel forward lincomb and
+    # all three backward lincombs vanish; R (M_BWD[2, 1] == 0) is a pure u8
+    # passthrough.  +-1 deviations vs the multi-op path only where the
+    # pre-round value sits within the roundtrip epsilon of a .5 boundary.
+    for k in range(3):
+        mk = float(M_BWD[k, 1])
+        if mk == 0.0:
+            o_ref[0, k] = x_ref[0, k]
+        else:
+            o_ref[0, k] = (
+                jnp.round(jnp.clip(x[k] + mk * du, 0.0, 255.0))
+                .astype(jnp.int32).astype(jnp.uint8)
+            )
 
 
 def _decode_kernel(static, x_ref, mean_ref, s_ref, k2_ref, w17_ref, sum_ref, o_ref):

@@ -7,7 +7,7 @@ flagship embed per (batch, STRIP-row strip) grid cell in one launch:
 
   u8 -> f32 -> channel lincomb -> Haar LL -> 4x4-block SoA -> DCT ->
   dominant triplet -> QIM -> rank-1 -> IDCT -> LL delta -> spatial delta ->
-  color roundtrip epilogue -> u8
+  delta-identity epilogue (x + du * M_BWD[:, chan]) -> u8
 
 Mosaic has no strided lane slicing (it lowers as an unsupported gather), so
 the Haar lane-pair sum and the stride-4 block-column selection are folded
@@ -70,12 +70,20 @@ def padded_width(w: int) -> int | None:
 @lru_cache(maxsize=None)
 def _consts(chunk: int):
     nb = chunk // 8
+    # the Haar LL 0.5 factors are folded into the constants (s forward,
+    # r1.T backward) so the kernel never runs a full-res scalar multiply:
+    # 0.5 entries are exact in f32 and the selected values are integer
+    # pair-sums, so the fold is bit-neutral up to f32 association
     s = np.zeros((4, chunk, nb), np.float32)
     for c in range(4):
         for n in range(nb):
-            s[c, 8 * n + 2 * c, n] = 1.0
-            s[c, 8 * n + 2 * c + 1, n] = 1.0
-    st = np.ascontiguousarray(s.transpose(0, 2, 1))
+            s[c, 8 * n + 2 * c, n] = 0.5
+            s[c, 8 * n + 2 * c + 1, n] = 0.5
+    st = np.zeros((4, nb, chunk), np.float32)
+    for c in range(4):
+        for n in range(nb):
+            st[c, n, 8 * n + 2 * c] = 1.0
+            st[c, n, 8 * n + 2 * c + 1] = 1.0
     r1 = np.zeros((STRIP // 2, STRIP), np.float32)
     for i in range(STRIP // 2):
         r1[i, 2 * i] = 1.0
@@ -106,7 +114,7 @@ def _consts(chunk: int):
                 rr[c * (4 * NBR) + br * 4 + r, blk] = 1.0
     k1 = (p @ kron_k @ q).astype(np.float32)
     k2 = (rr @ kron_k.T @ p.T).astype(np.float32)
-    return s, st, r1, np.ascontiguousarray(r1.T), k1, k2
+    return s, st, r1, np.ascontiguousarray(0.5 * r1.T), k1, k2
 
 
 def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref, o_ref):
@@ -118,9 +126,14 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
     nb = chunk // 8
     nbw = w // 8
 
-    cp = (M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1]
-          + M_FWD[chan, 2] * x[2] + OFF_FWD[chan])
-    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # [16, W]
+    # the +0.5 chroma offset rides past the pair-sum matmul: r1 sums two
+    # rows, so cp + 0.5 -> llr + 1.0 (exact), saving a full-res [STRIP, W]
+    # add; the Haar 0.5 lives in the s constants (see _consts)
+    cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
+    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # [32, W]
+    off2 = 2.0 * float(OFF_FWD[chan])
+    if off2:
+        llr = llr + off2
 
     # lane compaction: for each c, Mc[16, nbw] (pair-sum + stride-4 select)
     mc = []
@@ -130,7 +143,7 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
                     preferred_element_type=jnp.float32)
             for l in range(n_chunks)
         ]
-        mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
+        mc.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
 
     # component-major QIM: the permuted DCT constant (see _consts) maps the
     # stacked LL rows straight to 16 contiguous [NBR, nbw] component tiles,
@@ -143,16 +156,20 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
     bcol = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 1)
     brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
     m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
-    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # DCT, row q*NBR+br
+    # Mosaic DEFAULT contract precision, not HIGHEST (fp32 6-pass): this
+    # Mosaic only lowers DEFAULT/HIGHEST, and DEFAULT is the bf16x3-class
+    # multi-pass contract (the 0/1-selection matmuls already run there
+    # bit-exactly on chip).  Error bound ~511 * 2^-21 * sqrt(128) ~ 3e-3,
+    # far inside the 3.75 QIM decision margin; fewer MXU passes on the
+    # biggest matmul
+    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32)  # DCT, row q*NBR+br
     s0, u, v, rows = _triplet_core(
         [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
     s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
     ds = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), s_new - s0, 0.0)
     ddct_cm = jnp.concatenate(
         [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0)
-    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # IDCT, row c*32+br*4+r
+    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32)  # IDCT, row c*32+br*4+r
     # scatter-back: the IDCT constant already emits rows grouped by block
     # column c (16-row groups at full MXU row utilization)
     dllrows = None
@@ -165,22 +182,29 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
         ]
         contrib = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
         dllrows = contrib if dllrows is None else dllrows + contrib  # [STRIP/2, W]
-    du = 0.5 * jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
+    du = jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
 
-    yuv = [
-        M_FWD[k, 0] * x[0] + M_FWD[k, 1] * x[1] + M_FWD[k, 2] * x[2] + OFF_FWD[k]
-        for k in range(3)
-    ]
-    yuv[chan] = yuv[chan] + du
-    out = [
-        M_BWD[k, 0] * (yuv[0] - OFF_BWD[0])
-        + M_BWD[k, 1] * (yuv[1] - OFF_BWD[1])
-        + M_BWD[k, 2] * (yuv[2] - OFF_BWD[2])
-        for k in range(3)
-    ]
-    o_ref[0] = (
-        jnp.round(jnp.clip(jnp.stack(out), 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
-    )
+    # Delta-identity epilogue: the BGR->YUV->BGR roundtrip is affine, so
+    # marked = roundtrip(x) + du * M_BWD[:, chan]; for integer pixels
+    # roundtrip(x) rounds back to x exactly (cv2's backward constants miss
+    # exact inversion by <= 2.6e-4 relative = < 0.07 at 255 scale, well
+    # under the 0.5 rounding radius), so emit x + du * M_BWD[:, chan]
+    # directly.  Kills 5 of 6 full-res color lincombs, and channels with
+    # M_BWD[k, chan] == 0 (R for the U channel) are a pure u8 passthrough
+    # with no clip/round/cast at all.  Deviation vs the multi-op XLA path:
+    # marked pixels whose pre-round value sits within the roundtrip epsilon
+    # of a .5 boundary may differ by +-1 (decode-identical — same class as
+    # the borderline-QIM-bin note below); du == 0 regions are BIT-EXACT
+    # passthrough, stronger than the roundtrip.
+    for k in range(3):
+        mk = float(M_BWD[k, chan])
+        if mk == 0.0:
+            o_ref[0, k] = x_ref[0, k]
+        else:
+            o_ref[0, k] = (
+                jnp.round(jnp.clip(x[k] + mk * du, 0.0, 255.0))
+                .astype(jnp.int32).astype(jnp.uint8)
+            )
 
 
 @partial(jax.jit, static_argnames=("chan", "scale", "interpret"))
@@ -245,9 +269,13 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
     w = x.shape[-1]
     n_chunks = w // chunk
 
-    cp = (M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1]
-          + M_FWD[chan, 2] * x[2] + OFF_FWD[chan])
+    # same constant folds as the mark kernel: Haar 0.5 in s, +0.5 chroma
+    # offset applied as +1.0 after the pair-sum matmul
+    cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
     llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)
+    off2 = 2.0 * float(OFF_FWD[chan])
+    if off2:
+        llr = llr + off2
     mc = []
     for c in range(4):
         segs = [
@@ -255,10 +283,9 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
                     preferred_element_type=jnp.float32)
             for l in range(n_chunks)
         ]
-        mc.append(0.5 * (segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1)))
+        mc.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
     m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
-    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)  # component-major DCT
+    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32)  # component-major DCT (3-pass: see mark kernel)
     s0, u, v, rows = _triplet_core(
         [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
     o_ref[0, 0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)  # [NBR, nbw]
