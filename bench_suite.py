@@ -183,13 +183,17 @@ def bench_extract_1080p(quick):
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
     b = 8 if quick else 32
-    frames = jnp.asarray(natural_frames(rng, b, 1080, 1920)).astype(jnp.float32)
+    frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
 
+    # carry u8 like the embed loop (real pipelines feed u8): an f32 carry
+    # with per-iter clip/cast adds ~90 MB/frame of HBM traffic, which at
+    # kernel speeds dominates the measurement.  The f32 mul is the
+    # constant-fold barrier (int 0*x would fold and free the loop body).
     @partial(jax.jit, static_argnums=1)
     def loop(x, n):
         def body(i, x):
-            bits = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
-            return x + 0 * jnp.sum(bits).astype(jnp.float32)
+            bits = codec.extract_frames(x)
+            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -291,13 +295,13 @@ def bench_extract_4k(quick):
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
     b = 2 if quick else 8
-    frames = jnp.asarray(natural_frames(rng, b, 2160, 3840)).astype(jnp.float32)
+    frames = jnp.asarray(natural_frames(rng, b, 2160, 3840))
 
     @partial(jax.jit, static_argnums=1)
     def loop(x, n):
         def body(i, x):
-            bits = codec.extract_frames(jnp.clip(x, 0, 255).astype(jnp.uint8))
-            return x + 0 * jnp.sum(bits).astype(jnp.float32)
+            bits = codec.extract_frames(x)  # u8 carry — see extract_1080p note
+            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 

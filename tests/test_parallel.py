@@ -269,3 +269,29 @@ class TestShardedDtcwt:
             diff = out[v].astype(np.int32) - want.astype(np.int32)
             assert np.abs(diff).max() <= 1
             assert (diff != 0).mean() < 1e-3, (diff != 0).mean()
+
+
+class TestShardedDctQim:
+    """Same codec-generic sharding check for the perceptual DCT-QIM codec."""
+
+    def test_dctqim_mark_matches_single_device(self, rng):
+        from vfp_tpu.parallel import make_mesh, sharded_mark_step
+        from vfp_tpu.wm.dct_qim import DctQim
+
+        mesh = make_mesh(data=4, variant=2)
+        codec = DctQim()
+        frames = rng.randint(0, 256, (4, 64, 112, 3)).astype("uint8")
+        cap = codec.wm_capacity((64, 112, 3))
+        wms = rng.randint(0, 2, (2, cap[0] * cap[1])).astype("float32")
+        step = sharded_mark_step(mesh, codec)
+        out = np.asarray(step(jnp.asarray(frames), jnp.asarray(wms)))
+        for v in range(2):
+            want = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wms[v])))
+            # perceptual masks are float-valued: shard_map fusion may flip
+            # round-boundary pixels by 1 (same class as the DT-CWT note)
+            diff = out[v].astype(np.int32) - want.astype(np.int32)
+            assert np.abs(diff).max() <= 1
+            assert (diff != 0).mean() < 1e-3
+            bits = np.asarray(codec.extract_frames(jnp.asarray(out[v])))
+            wantb = np.asarray(codec.extract_frames(jnp.asarray(want)))
+            np.testing.assert_array_equal(bits, wantb)
