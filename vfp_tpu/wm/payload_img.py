@@ -161,9 +161,24 @@ class DeBlockShuffler:
         out[:rows, :cols] = np.concatenate(np.concatenate(res.reshape(shape), 1), 1)
         return out
 
-    def degenerate(self, wm, shape=(135, 240)) -> np.ndarray:
+    def degenerate(self, wm, shape=(135, 240), antialias: bool = False) -> np.ndarray:
+        """Descramble a recovered plane back to the payload shape.
+
+        ``antialias=False`` is bit-parity with the reference
+        (de_block_shuffler.py:14-19, cv2.resize default INTER_LINEAR).  That
+        default point-samples when the payload is much smaller than the
+        (135, 240) scramble grid, and the decoder's zero-lowpass
+        reconstruction is fine-scale ringing — at 1080p the aliased samples
+        *anti*-correlate with the payload (measured: agreement 0.31 vs 0.89
+        with a true block average).  ``antialias=True`` uses INTER_AREA for
+        the final downsample, the correct estimator for "is this recovered
+        image readable"; it only changes this degenerator's final resize,
+        never the embedded signal.
+        """
         import cv2
 
         x = cv2.resize(np.asarray(wm, np.float32), (shape[1], shape[0]))
         x = self.derandomize_channel(x, self.key, self.blk_shape)
-        return cv2.resize(x, (self.payload_shape[1], self.payload_shape[0]))
+        interp = cv2.INTER_AREA if antialias else cv2.INTER_LINEAR
+        return cv2.resize(x, (self.payload_shape[1], self.payload_shape[0]),
+                          interpolation=interp)
