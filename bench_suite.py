@@ -514,7 +514,8 @@ def bench_hls_workflow(quick):
     """Config 3: segment + mark 3 variants/segment + playlists + verify."""
     import numpy as np
     import shutil
-    from vfp_tpu.fingerprint import mark_segments, segment_video, verify_segment, write_hls_playlists
+    from vfp_tpu.fingerprint import mark_segments, segment_video, write_hls_playlists
+    from vfp_tpu.fingerprint.marker import verify_segments
     from vfp_tpu.io import RawVideoWriter
 
     rng = np.random.RandomState(1)
@@ -534,7 +535,7 @@ def bench_hls_workflow(quick):
     write_hls_playlists(marked, base / "hls", copies=3, segment_duration=1.0)
     wall = time.perf_counter() - t0
     t1 = time.perf_counter()
-    ok = sum(verify_segment(m.file, m.payload)[2] for m in marked)
+    ok = sum(r[2] for r in verify_segments(marked, batch_size=8))
     t_verify = time.perf_counter() - t1
     shutil.rmtree(base, ignore_errors=True)
     return {

@@ -115,6 +115,17 @@ class TestEndToEnd:
             assert ok, (m.file, pattern, m.payload)
             assert freq >= 0.5
 
+    def test_verify_segments_pipelined_matches_serial(self, marked_tree):
+        from vfp_tpu.fingerprint.marker import verify_segments
+
+        base, segs, marked, payloads, copies = marked_tree
+        got = verify_segments(marked, depth=2)
+        assert len(got) == len(marked)
+        for m, (pattern, freq, ok) in zip(marked, got):
+            sp, sf, sok = verify_segment(m.file, m.payload)
+            np.testing.assert_array_equal(pattern, sp)
+            assert (freq, ok) == (sf, sok)
+
     def test_hls_playlists(self, marked_tree):
         base, segs, marked, payloads, copies = marked_tree
         master, playlist, seg_map, variants = write_hls_playlists(

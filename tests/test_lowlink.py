@@ -101,6 +101,23 @@ class TestLowLinkMarker:
         for b in bits:
             np.testing.assert_array_equal(deg.degenerate(b), PAYLOAD)
 
+    def test_two_plane_matches_per_variant(self, rng):
+        """V >= 3 ships bit0/bit1 delta planes + host block-select; must be
+        bit-identical to the per-variant device path (int8 quantization is
+        elementwise, so select-then-quantize == quantize-then-select)."""
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 3, 78, 102)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [Shuffler(key=0).generate_wm(payload_for_segment(2, c), cap)
+               for c in range(3)]
+        mm = LowLinkMarker(codec, wms, batch_size=4)
+        assert mm._two_plane
+        got = mm.mark_all(frames)
+        for v in range(3):
+            ref = LowLinkMarker(codec, [wms[v]], batch_size=4)
+            assert not ref._two_plane
+            np.testing.assert_array_equal(got[v], ref.mark_all(frames)[0])
+
     def test_submit_collect_pipelined(self, rng):
         codec = DwtDctSvd()
         frames = natural_frames(rng, 8, 64, 96)

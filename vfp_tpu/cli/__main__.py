@@ -213,8 +213,8 @@ def cmd_test_frame(args):
 
 
 def cmd_hls_mark(args):
-    from ..fingerprint import mark_segments, segment_video, verify_segment, write_hls_playlists
-    from ..fingerprint.marker import write_manifests
+    from ..fingerprint import mark_segments, segment_video, write_hls_playlists
+    from ..fingerprint.marker import verify_segments, write_manifests
 
     base = Path(args.output_dir)
     if args.clean and base.exists():
@@ -229,8 +229,9 @@ def cmd_hls_mark(args):
         resume=getattr(args, "resume", False),
     )
     failed = []
-    for m in marked:
-        pattern, freq, ok = verify_segment(m.file, m.payload, key=args.key)
+    for m, (pattern, freq, ok) in zip(
+            marked, verify_segments(marked, key=args.key,
+                                    batch_size=args.batch_size)):
         if not ok or freq < 0.5:
             failed.append(
                 {

@@ -302,6 +302,78 @@ def verify_segment(marked_file, expected_payload, codec=None, key: int = 0, batc
     return np.array(pattern, np.uint8), freq, bool(np.array_equal(pattern, expected))
 
 
+def segment_majorities(files, payload_len: int, codec=None, key: int = 0,
+                       batch_size: int = 16, depth: int = 3):
+    """Pipelined majority-vote decode over segment files: decode file i+1 on
+    a thread while file i's extract waits on the device->host link
+    (FrameExtractor.submit/collect).  Returns [(pattern, frequency), ...] in
+    order; (None, 0.0) for unreadable/empty files.  The vote per file is
+    identical to the serial loop — only the scheduling differs."""
+    from collections import Counter, deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..pipeline import cached_bit_extractor
+
+    codec = codec or DwtDctSvd()
+    files = list(files)
+    fx = cached_bit_extractor(codec, key, payload_len, batch_size)
+    results: list = [(None, 0.0)] * len(files)
+    pool = ThreadPoolExecutor(max_workers=1)
+    futs: dict = {}
+
+    def _prefetch(i):
+        if i < len(files) and i not in futs:
+            futs[i] = pool.submit(_read_all, files[i])
+
+    def _drain(i, handles):
+        payloads = np.concatenate([fx.collect(h) for h in handles])
+        counter = Counter(map(tuple, payloads.tolist()))
+        pattern, count = counter.most_common(1)[0]
+        results[i] = (np.array(pattern, np.uint8), count / len(payloads))
+
+    inflight: deque = deque()
+    try:
+        _prefetch(0)
+        for i in range(len(files)):
+            _prefetch(i + 1)
+            try:
+                frames, _ = futs.pop(i).result()
+            except IOError:  # empty/unreadable segment -> (None, 0.0)
+                continue
+            handles = [fx.submit(frames[s : s + batch_size])
+                       for s in range(0, len(frames), batch_size)]
+            inflight.append((i, handles))
+            while len(inflight) > depth:
+                _drain(*inflight.popleft())
+        while inflight:
+            _drain(*inflight.popleft())
+    finally:
+        pool.shutdown(wait=False)
+    return results
+
+
+def verify_segments(marked, codec=None, key: int = 0, batch_size: int = 16,
+                    depth: int = 3):
+    """Pipelined verify over a list of MarkedSegment (or (file, payload)
+    pairs).  Returns [(pattern, frequency, success), ...] in order — each
+    element identical to verify_segment's result (same decode, same majority
+    vote; only the scheduling differs).  All payloads must share one length
+    (they do: payload_for_segment is fixed-width)."""
+    items = [(m.file, m.payload) if isinstance(m, MarkedSegment) else tuple(m)
+             for m in marked]
+    if not items:
+        return []
+    payload_len = int(np.asarray(items[0][1]).size)
+    maj = segment_majorities([f for f, _ in items], payload_len, codec=codec,
+                             key=key, batch_size=batch_size, depth=depth)
+    return [
+        (pattern, freq,
+         bool(pattern is not None
+              and np.array_equal(pattern, np.asarray(payload))))
+        for (pattern, freq), (_, payload) in zip(maj, items)
+    ]
+
+
 def write_manifests(base_dir, segment_payloads, segment_copies, segment_map=None, failed=None):
     """Emit the reference's JSON manifests (tests/mark_video_to_hls.py:406-434)."""
     base_dir = Path(base_dir)

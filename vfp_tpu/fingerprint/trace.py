@@ -11,15 +11,12 @@ from __future__ import annotations
 
 import json
 import logging
-from collections import Counter
 from dataclasses import dataclass, field
 from pathlib import Path
 
 import numpy as np
 
-from ..io import open_reader
-from ..pipeline import FrameExtractor
-from ..wm import DeShuffler, DwtDctSvd
+from ..wm import DwtDctSvd
 from .payloads import decode_segment_copy, pattern_string
 from .segmenter import segment_video
 
@@ -64,29 +61,6 @@ class TraceResult:
         ]
 
 
-def _segment_majority(seg_file, payload_len: int, codec, key: int, batch_size: int = 16):
-    """Decode one segment once -> (majority pattern, frequency)."""
-    from ..pipeline import cached_bit_extractor
-
-    fx = cached_bit_extractor(codec, key, payload_len, batch_size)
-    reader = open_reader(seg_file)
-    outs = []
-    try:
-        while True:
-            b = reader.read_batch(batch_size)
-            if b is None:
-                break
-            outs.append(fx.extract(b))
-    finally:
-        reader.close()
-    if not outs:
-        return None, 0.0
-    payloads = np.concatenate(outs)
-    counter = Counter(map(tuple, payloads.tolist()))
-    pattern, count = counter.most_common(1)[0]
-    return np.array(pattern, np.uint8), count / len(payloads)
-
-
 def trace_leak(
     leaked_file,
     output_dir,
@@ -109,9 +83,11 @@ def trace_leak(
 
     payloads = json.loads(Path(payload_file).read_text()) if payload_file else {}
 
+    from .marker import segment_majorities
+
     traces = []
-    for seg_idx, seg_file in enumerate(segments):
-        pattern, freq = _segment_majority(seg_file, payload_len, codec, key)
+    majorities = segment_majorities(segments, payload_len, codec=codec, key=key)
+    for seg_idx, (seg_file, (pattern, freq)) in enumerate(zip(segments, majorities)):
         detected = None
         if pattern is not None:
             if payloads:

@@ -51,8 +51,19 @@ class FrameExtractor:
         self._fn = jax.jit(_extract)
 
     def extract(self, frames: np.ndarray) -> np.ndarray:
+        return self.collect(self.submit(frames))
+
+    def submit(self, frames: np.ndarray):
+        """Async dispatch (low-link only); pair with collect() so pipelined
+        verify loops overlap decode with the link fetch."""
         if self._ll is not None:
-            return self._ll.extract(frames)
+            return self._ll.submit(frames)
+        return frames  # full-frame path computes in collect()
+
+    def collect(self, handle) -> np.ndarray:
+        if self._ll is not None:
+            return self._ll.collect(handle)
+        frames = handle
         k = len(frames)
         if k < self.batch_size:
             pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)

@@ -7,6 +7,9 @@ DWT+DCT+SVD codec only ever *reads* the LL band of one YUV channel and only
 
   up:   LL of the active channel, float16   [k, H/4*2, W/4*2]   (x6 smaller)
   down: QIM LL delta, int8 fixed-point /8   [V, k, hc, wc]      (x12 smaller)
+        (V >= 3: [2, k, hc, wc] bit-conditional planes instead — the per-
+        block delta depends on the watermark only through that block's bit,
+        so the host selects; device work and down-leg become V-independent)
 
 The host computes the LL cheaply (one cv2.transform row + a 2x2 pair-sum)
 and reconstructs marked frames as ``clip(rint(x + du * M_BWD[:, chan]))`` —
@@ -137,6 +140,37 @@ def _mark_fn(codec, n_variants: int):
     return fn
 
 
+@lru_cache(maxsize=None)
+def _mark_fn_2plane(codec):
+    """jitted: ll f16 [k, hc, wc] -> int8 [2, k, hc, wc] — the QIM delta for
+    every block under bit=0 and bit=1.
+
+    The per-block embed delta u·(qim(s0, bit) − s0)·vᵀ depends on the
+    watermark only through that block's bit, so ALL variants' deltas are
+    selections from these two planes.  Device compute and down-leg traffic
+    become V-independent; the host (which generated the watermarks) picks
+    per block.  Bit-exact vs the per-variant path: int8 wire quantization is
+    elementwise, so quantize-then-select == select-then-quantize.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    chan = active_channel(codec)
+    scale = float(codec.scales[chan])
+
+    @jax.jit
+    def fn(ll16):
+        ll = ll16.astype(jnp.float32)
+        nb = (ll.shape[1] // codec.blk) * (ll.shape[2] // codec.blk)
+        d01 = jnp.stack(
+            [codec._ll_delta(ll, jnp.full((nb,), b, jnp.float32), scale)
+             for b in (0.0, 1.0)]
+        )
+        return jnp.clip(jnp.round(d01 * DLL_Q), -127.0, 127.0).astype(jnp.int8)
+
+    return fn
+
+
 class LowLinkMarker:
     """MultiMarker-compatible variant marker over the LL-domain transport.
 
@@ -151,7 +185,13 @@ class LowLinkMarker:
         self.batch_size = batch_size
         self._wms_np = np.stack([np.asarray(w).reshape(-1) for w in wms]).astype(np.float32)
         self._wms = None  # device copy, lazily placed
-        self._fn = _mark_fn(codec, len(self._wms_np))
+        # V >= 3: ship the two bit-conditional delta planes and select on the
+        # host (V-independent device work + down-leg); V <= 2: per-variant
+        # planes are the same or less traffic, keep the direct path
+        self._two_plane = len(self._wms_np) >= 3
+        self._masks: dict = {}  # (hc, wc) -> [V, hc, wc] bool, built lazily
+        self._fn = (_mark_fn_2plane(codec) if self._two_plane
+                    else _mark_fn(codec, len(self._wms_np)))
         # per-stage busy seconds, accumulated across submit/collect calls
         # (single host core: these compete for the same CPU, so their sum
         # approximates host-busy wall; link_fetch is time blocked on the
@@ -169,19 +209,40 @@ class LowLinkMarker:
 
         import jax.numpy as jnp
 
-        if self._wms is None:
+        if self._wms is None and not self._two_plane:
             self._wms = jnp.asarray(self._wms_np)
         k = len(frames)
         t0 = time.perf_counter()
+        # no batch padding: the link is the bottleneck, so shipping pad rows
+        # costs real wall (6-frame HLS segments padded to 8 = +33% traffic
+        # both legs).  Exact shapes mean one jit trace per distinct k — HLS
+        # segments are uniform-length, so that is 1-2 shapes per video, and
+        # the persistent compile cache absorbs them across runs.
         ll = host_ll(frames, self.chan)
-        if k < self.batch_size:  # pad in the (16x smaller) LL domain
-            ll = np.concatenate([ll, np.repeat(ll[-1:], self.batch_size - k, axis=0)])
         t1 = time.perf_counter()
-        handle = (self._fn(jnp.asarray(ll), self._wms), frames, k)
+        if self._two_plane:
+            handle = (self._fn(jnp.asarray(ll)), frames, k)
+        else:
+            handle = (self._fn(jnp.asarray(ll), self._wms), frames, k)
         t2 = time.perf_counter()
         self.stage_seconds["host_ll"] += t1 - t0
         self.stage_seconds["dispatch"] += t2 - t1
         return handle
+
+    def _bit_masks(self, hc: int, wc: int) -> np.ndarray:
+        """[V, hc, wc] bool: each variant's per-block bit, expanded to the LL
+        pixel grid (blocks row-major, matching ops/soa.image_to_soa)."""
+        key = (hc, wc)
+        if key not in self._masks:
+            blk = self.codec.blk
+            nbh, nbw = hc // blk, wc // blk
+            m = np.zeros((len(self._wms_np), hc, wc), bool)
+            for v, wmv in enumerate(self._wms_np):
+                bits = wmv[: nbh * nbw].reshape(nbh, nbw) > 0.5
+                m[v, : nbh * blk, : nbw * blk] = np.repeat(
+                    np.repeat(bits, blk, 0), blk, 1)
+            self._masks[key] = m
+        return self._masks[key]
 
     def collect(self, handle) -> np.ndarray:
         """Handle -> [V, k, H, W, 3] uint8 marked frames."""
@@ -189,8 +250,11 @@ class LowLinkMarker:
 
         dll_dev, frames, k = handle
         t0 = time.perf_counter()
-        dll = np.asarray(dll_dev)[:, :k]  # [V, k, hc, wc] int8
+        dll = np.asarray(dll_dev)[:, :k]  # [V or 2, k, hc, wc] int8
         t1 = time.perf_counter()
+        if self._two_plane:
+            masks = self._bit_masks(*dll.shape[-2:])  # [V, hc, wc]
+            dll = np.where(masks[:, None, :, :], dll[1], dll[0])
         out = reconstruct_all(frames, dll, self.chan)
         self.stage_seconds["link_fetch"] += t1 - t0
         self.stage_seconds["reconstruct"] += time.perf_counter() - t1
@@ -240,15 +304,23 @@ class LowLinkExtractor:
 
         return fn
 
-    def extract(self, frames: np.ndarray) -> np.ndarray:
+    def submit(self, frames: np.ndarray):
+        """Upload + dispatch one batch; pair with collect() so a pipelined
+        caller overlaps the next file's decode with this one's link fetch."""
         import jax.numpy as jnp
 
         k, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        # exact-shape upload (no pad): verify decodes 6-frame segments with
+        # batch_size=16, so padding tripled the (bottleneck) up-leg traffic
         ll = host_ll(frames, self.chan)
-        if k < self.batch_size:  # pad in the (16x smaller) LL domain
-            ll = np.concatenate([ll, np.repeat(ll[-1:], self.batch_size - k, axis=0)])
         from ..wm.dwt_dct_svd import block_grid
 
         (nbh, nbw), capacity = block_grid((h, w), self.codec.blk)
-        out = self._fn(jnp.asarray(ll), capacity - nbh * nbw)
+        return (self._fn(jnp.asarray(ll), capacity - nbh * nbw), k)
+
+    def collect(self, handle) -> np.ndarray:
+        out, k = handle
         return np.asarray(out)[:k]
+
+    def extract(self, frames: np.ndarray) -> np.ndarray:
+        return self.collect(self.submit(frames))
