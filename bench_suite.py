@@ -535,7 +535,7 @@ def bench_hls_workflow(quick):
     write_hls_playlists(marked, base / "hls", copies=3, segment_duration=1.0)
     wall = time.perf_counter() - t0
     t1 = time.perf_counter()
-    ok = sum(r[2] for r in verify_segments(marked, batch_size=8))
+    ok = sum(r[2] for r in verify_segments(marked, batch_size=16))
     t_verify = time.perf_counter() - t1
     shutil.rmtree(base, ignore_errors=True)
     return {

@@ -119,12 +119,40 @@ class TestEndToEnd:
         from vfp_tpu.fingerprint.marker import verify_segments
 
         base, segs, marked, payloads, copies = marked_tree
-        got = verify_segments(marked, depth=2)
+        # batch_size 4 < frames/segment forces cross-file chunk packing
+        got = verify_segments(marked, depth=2, batch_size=4)
         assert len(got) == len(marked)
         for m, (pattern, freq, ok) in zip(marked, got):
             sp, sf, sok = verify_segment(m.file, m.payload)
             np.testing.assert_array_equal(pattern, sp)
             assert (freq, ok) == (sf, sok)
+
+    def test_segment_majorities_mixed_dims(self, tmp_path, rng):
+        """Chunk packing must flush at a dim change, never mixing shapes in
+        one device batch; per-file votes stay exact."""
+        import jax.numpy as jnp
+
+        from vfp_tpu.fingerprint.marker import segment_majorities
+        from vfp_tpu.io import RawVideoWriter
+        from vfp_tpu.wm import DwtDctSvd, Shuffler
+
+        codec = DwtDctSvd()
+        files, payloads = [], []
+        for i, (h, w) in enumerate([(64, 96), (80, 112), (64, 96)]):
+            payload = payload_for_segment(i, 0)
+            wm = Shuffler(key=0).generate_wm(payload, codec.wm_capacity((h, w, 3)))
+            frames = np.clip(rng.rand(5, h, w, 3) * 220 + 20, 0, 255).astype(np.uint8)
+            marked = np.asarray(codec.mark_frames(
+                jnp.asarray(frames), jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)))
+            f = tmp_path / f"seg{i}.rawv"
+            with RawVideoWriter(f, w, h, fps=6) as wtr:
+                wtr.write_batch(marked)
+            files.append(str(f))
+            payloads.append(payload)
+        got = segment_majorities(files, 8, codec=codec, batch_size=8)
+        for (pattern, freq), want in zip(got, payloads):
+            np.testing.assert_array_equal(pattern, want)
+            assert freq == 1.0
 
     def test_hls_playlists(self, marked_tree):
         base, segs, marked, payloads, copies = marked_tree

@@ -81,3 +81,29 @@ class TestNativeRawVideo:
         assert isinstance(r, NativeRawVideoReader)
         np.testing.assert_array_equal(r.read_batch(5), frames)
         r.close()
+
+
+class TestNativeReconstruct:
+    @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
+    def test_matches_numpy_bitexact(self, rng):
+        """vfpio_reconstruct vs the NumPy fallback: identical bytes,
+        including odd frame dims (copied tail rows/cols), the zero-coef R
+        channel, and saturating boundaries."""
+        from vfp_tpu.pipeline import lowlink
+
+        frames = rng.randint(0, 256, (3, 79, 101, 3), np.uint8)
+        frames[0, :4] = 255  # clamp-high region
+        frames[1, :4] = 0    # clamp-low region
+        hc, wc = 79 // 4 * 2, 101 // 4 * 2
+        dll = rng.randint(-127, 128, (2, 3, hc, wc)).astype(np.int8)
+        want_lib = lowlink._native_reconstruct()
+        assert want_lib is not None
+        got = lowlink.reconstruct_all(frames, dll, chan=1)
+        # force the NumPy fallback
+        orig = lowlink._native_reconstruct
+        lowlink._native_reconstruct = lambda: None
+        try:
+            want = lowlink.reconstruct_all(frames, dll, chan=1)
+        finally:
+            lowlink._native_reconstruct = orig
+        np.testing.assert_array_equal(got, want)

@@ -132,8 +132,14 @@ def mark_segments(
     pool = ThreadPoolExecutor(max_workers=1)
     decode_futs: dict = {}
     t_wall0 = time.perf_counter()
+    # decode/host_ll/dispatch/link_fetch/reconstruct/encode_write are BUSY
+    # seconds; decode_wait/queue_wait (main thread blocked on the decode
+    # future / the bounded writer queue) and writer_idle (writer blocked on
+    # an empty queue) make the accounting complete: main-thread wall ≈
+    # host_ll + dispatch + decode_wait + queue_wait + loop overhead
     ss = {"decode": 0.0, "host_ll": 0.0, "dispatch": 0.0, "link_fetch": 0.0,
-          "reconstruct": 0.0, "device_full": 0.0, "encode_write": 0.0}
+          "reconstruct": 0.0, "device_full": 0.0, "encode_write": 0.0,
+          "decode_wait": 0.0, "queue_wait": 0.0, "writer_idle": 0.0}
 
     def _read_timed(file):
         t0 = time.perf_counter()
@@ -154,7 +160,9 @@ def mark_segments(
 
     def _writer_loop():
         while True:
+            t_idle = time.perf_counter()
             item = wq.get()
+            ss["writer_idle"] += time.perf_counter() - t_idle
             if item is None:
                 return
             try:
@@ -199,7 +207,9 @@ def mark_segments(
         if werr:  # writer already failed: stop submitting device work
             break
         if todo:  # segment-level resume: decode only when some copy is missing
+            t_dw = time.perf_counter()
             frames, fps = decode_futs.pop(seg_idx).result()  # decoded ONCE
+            ss["decode_wait"] += time.perf_counter() - t_dw
             h, w = frames.shape[1:3]
             # all missing variants marked in ONE vmapped call per batch
             wms = [
@@ -224,7 +234,9 @@ def mark_segments(
                 if werr:
                     break
                 handle = mm.submit(frames[start : start + batch_size])
+                t_qw = time.perf_counter()
                 wq.put(("mark", mm, handle, writers, todo, paths))
+                ss["queue_wait"] += time.perf_counter() - t_qw
             wq.put(("close", writers, paths))
         seg_entry = []
         for copy_index in range(copies):
@@ -304,11 +316,16 @@ def verify_segment(marked_file, expected_payload, codec=None, key: int = 0, batc
 
 def segment_majorities(files, payload_len: int, codec=None, key: int = 0,
                        batch_size: int = 16, depth: int = 3):
-    """Pipelined majority-vote decode over segment files: decode file i+1 on
-    a thread while file i's extract waits on the device->host link
-    (FrameExtractor.submit/collect).  Returns [(pattern, frequency), ...] in
-    order; (None, 0.0) for unreadable/empty files.  The vote per file is
-    identical to the serial loop — only the scheduling differs."""
+    """Pipelined majority-vote decode over segment files.
+
+    Two schedulings on top of the serial loop, with identical per-file
+    votes: (1) decode file i+1 on a thread while earlier extracts wait on
+    the device->host link (FrameExtractor.submit/collect); (2) frames are
+    packed ACROSS file boundaries into uniform batch_size chunks — the
+    relay charges per device call, and 6-frame HLS segments submitted
+    file-at-a-time would use 1 call per file instead of 1 per batch_size
+    frames.  Returns [(pattern, frequency), ...] in file order; (None, 0.0)
+    for unreadable/empty files."""
     from collections import Counter, deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -318,20 +335,35 @@ def segment_majorities(files, payload_len: int, codec=None, key: int = 0,
     files = list(files)
     fx = cached_bit_extractor(codec, key, payload_len, batch_size)
     results: list = [(None, 0.0)] * len(files)
+    votes: list = [[] for _ in files]  # per-file [n, payload_len] pieces
     pool = ThreadPoolExecutor(max_workers=1)
     futs: dict = {}
+    inflight: deque = deque()  # (handle, [(file_idx, n), ...])
+    pend_frames: list = []
+    pend_meta: list = []
+    pend_shape = None  # (H, W) of the chunk being packed
 
     def _prefetch(i):
         if i < len(files) and i not in futs:
             futs[i] = pool.submit(_read_all, files[i])
 
-    def _drain(i, handles):
-        payloads = np.concatenate([fx.collect(h) for h in handles])
-        counter = Counter(map(tuple, payloads.tolist()))
-        pattern, count = counter.most_common(1)[0]
-        results[i] = (np.array(pattern, np.uint8), count / len(payloads))
+    def _flush():
+        nonlocal pend_frames, pend_meta
+        if not pend_frames:
+            return
+        chunk = (pend_frames[0] if len(pend_frames) == 1
+                 else np.concatenate(pend_frames))
+        inflight.append((fx.submit(chunk), pend_meta))
+        pend_frames, pend_meta = [], []
 
-    inflight: deque = deque()
+    def _drain():
+        handle, meta = inflight.popleft()
+        bits = fx.collect(handle)
+        off = 0
+        for i, n in meta:
+            votes[i].append(bits[off : off + n])
+            off += n
+
     try:
         _prefetch(0)
         for i in range(len(files)):
@@ -340,15 +372,32 @@ def segment_majorities(files, payload_len: int, codec=None, key: int = 0,
                 frames, _ = futs.pop(i).result()
             except IOError:  # empty/unreadable segment -> (None, 0.0)
                 continue
-            handles = [fx.submit(frames[s : s + batch_size])
-                       for s in range(0, len(frames), batch_size)]
-            inflight.append((i, handles))
-            while len(inflight) > depth:
-                _drain(*inflight.popleft())
+            if pend_shape != frames.shape[1:3]:
+                _flush()  # mixed-dim inputs: never pack across a dim change
+                pend_shape = frames.shape[1:3]
+            pos = 0
+            while pos < len(frames):
+                room = batch_size - sum(n for _, n in pend_meta)
+                take = min(room, len(frames) - pos)
+                pend_frames.append(frames[pos : pos + take])
+                pend_meta.append((i, take))
+                pos += take
+                if take == room:
+                    _flush()
+                    while len(inflight) > depth:
+                        _drain()
+        _flush()
         while inflight:
-            _drain(*inflight.popleft())
+            _drain()
     finally:
         pool.shutdown(wait=False)
+    for i, pieces in enumerate(votes):
+        if not pieces:
+            continue
+        payloads = np.concatenate(pieces)
+        counter = Counter(map(tuple, payloads.tolist()))
+        pattern, count = counter.most_common(1)[0]
+        results[i] = (np.array(pattern, np.uint8), count / len(payloads))
     return results
 
 

@@ -50,4 +50,12 @@ def load_vfpio():
     lib.vfpio_write_batch.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
     lib.vfpio_writer_close.restype = ctypes.c_int
     lib.vfpio_writer_close.argtypes = [ctypes.c_void_p]
+    lib.vfpio_reconstruct.restype = None
+    lib.vfpio_reconstruct.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long,
+    ]
     return lib

@@ -226,6 +226,54 @@ long vfpio_write_batch(void* h, const unsigned char* data, long frames) {
     return w->error ? -1 : frames;
 }
 
+// Fused LL-delta frame reconstruct for the low-link transport
+// (pipeline/lowlink.py): out = clip(src + lut_c[dll_quad + 128]) over the
+// [2*hc, 2*wc] region, channels with a null LUT (and pixels outside the
+// region) copied through.  Bit-exact with the NumPy path (same int16 LUT
+// add + clamp); one pass per row with the per-channel delta row built once
+// per 2x2 row pair, so the hot loop is a contiguous saturating add the
+// compiler vectorizes.  Runs without the GIL via ctypes.
+void vfpio_reconstruct(const unsigned char* src, const signed char* dll,
+                       const short* lut_b, const short* lut_g,
+                       const short* lut_r, unsigned char* out,
+                       long k, long h, long w, long hc, long wc) {
+    const long w2 = 2 * wc, h2 = 2 * hc;
+    const long row_bytes = w * 3;
+    const long n = w2 * 3;
+    std::vector<short> drow(n, 0);  // null-LUT channels stay 0
+    const short* luts[3] = {lut_b, lut_g, lut_r};
+    for (long f = 0; f < k; ++f) {
+        const unsigned char* s = src + f * h * row_bytes;
+        unsigned char* o = out + f * h * row_bytes;
+        const signed char* d = dll + f * hc * wc;
+        for (long y = 0; y < h; ++y) {
+            const unsigned char* sr = s + y * row_bytes;
+            unsigned char* orow = o + y * row_bytes;
+            if (y >= h2) {
+                std::memcpy(orow, sr, row_bytes);
+                continue;
+            }
+            if ((y & 1) == 0) {
+                const signed char* dr = d + (y >> 1) * wc;
+                for (int c = 0; c < 3; ++c) {
+                    const short* lut = luts[c];
+                    if (!lut) continue;
+                    for (long x = 0; x < wc; ++x) {
+                        short v = lut[(int)dr[x] + 128];
+                        drow[(2 * x) * 3 + c] = v;
+                        drow[(2 * x + 1) * 3 + c] = v;
+                    }
+                }
+            }
+            for (long i = 0; i < n; ++i) {
+                int v = (int)sr[i] + (int)drow[i];
+                orow[i] = (unsigned char)(v < 0 ? 0 : (v > 255 ? 255 : v));
+            }
+            if (w2 < w) std::memcpy(orow + n, sr + n, (w - w2) * 3);
+        }
+    }
+}
+
 int vfpio_writer_close(void* h) {
     auto* w = static_cast<Writer*>(h);
     {

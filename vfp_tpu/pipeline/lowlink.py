@@ -94,16 +94,47 @@ def reconstruct(frames: np.ndarray, dll_q: np.ndarray, chan: int) -> np.ndarray:
     return reconstruct_all(frames, dll_q[None], chan)[0]
 
 
+def _native_reconstruct():
+    """Load vfpio's fused reconstruct (None when no native lib/compiler)."""
+    try:
+        from ..native.build import load_vfpio
+
+        return load_vfpio()
+    except Exception:  # pragma: no cover - depends on toolchain presence
+        return None
+
+
 def reconstruct_all(frames: np.ndarray, dll_all: np.ndarray, chan: int) -> np.ndarray:
     """[k, H, W, 3] uint8 + [V, k, hc, wc] int8 deltas -> [V, k, H, W, 3].
 
-    Variant-batched host reconstruct: the strided per-channel source read is
-    done once (int16) and reused by every variant — ~1.5x faster than per-
-    variant float passes on the 1-core host, bit-identical output.
+    Hot path is the C++ fused pass (native/vfpio.cpp vfpio_reconstruct: one
+    saturating-add sweep per row, GIL released); the NumPy fallback below is
+    bit-identical (same int16 LUT add + clamp) and pinned so by test.
     """
     V = len(dll_all)
     k, h, w, _ = frames.shape
     hc, wc = dll_all.shape[-2:]
+    lib = _native_reconstruct()
+    if lib is not None:
+        import ctypes
+
+        luts = _delta_luts(chan)
+        src = np.ascontiguousarray(frames)
+        out = np.empty((V, k, h, w, 3), np.uint8)
+        lut_ptrs = [
+            None if l is None else l.ctypes.data_as(ctypes.c_void_p)
+            for l in luts
+        ]
+        for v in range(V):
+            dv = np.ascontiguousarray(dll_all[v], np.int8)
+            lib.vfpio_reconstruct(
+                src.ctypes.data_as(ctypes.c_char_p),
+                dv.ctypes.data_as(ctypes.c_char_p),
+                lut_ptrs[0], lut_ptrs[1], lut_ptrs[2],
+                out[v].ctypes.data_as(ctypes.c_char_p),
+                k, h, w, hc, wc,
+            )
+        return out
     h2, w2 = hc * 2, wc * 2
     idx = dll_all.astype(np.int16)
     idx += 128  # LUT index space
