@@ -644,6 +644,12 @@ def main():
     ap.add_argument("--only", default=None,
                     help="comma-separated config-name substrings to run; "
                          "existing bench_suite_report.json entries are kept")
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="run workflow-class configs N times; the reported "
+                         "entry is the MEDIAN run (by headline fps) with a "
+                         "per-run fps list attached — the relay link's wall "
+                         "varies ~20x between identical runs, so a single "
+                         "sample proves nothing about the code")
     args = ap.parse_args()
     if args.platform == "cpu":
         import jax
@@ -682,9 +688,23 @@ def main():
     ]:
         if wanted is not None and not any(s in name for s in wanted):
             continue
+        fps_key = {"hls_workflow": "marked_frames_per_sec_incl_io",
+                   "leak_trace": "trace_frames_per_sec_incl_io",
+                   "concurrent_serve": "marked_frames_per_sec_incl_io"}.get(name)
+        reps = args.repeat if (args.repeat > 1 and fps_key) else 1
         t0 = time.perf_counter()
         try:
-            report[name] = fn(args.quick)
+            runs = []
+            for _ in range(reps):
+                t1 = time.perf_counter()
+                r = fn(args.quick)
+                r["wall_seconds"] = round(time.perf_counter() - t1, 2)
+                runs.append(r)
+            if reps > 1:
+                runs.sort(key=lambda r: r[fps_key])
+            report[name] = runs[len(runs) // 2]  # median by headline fps
+            if reps > 1:
+                report[name]["runs_fps"] = [r[fps_key] for r in runs]
             report[name]["wall_seconds"] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # pragma: no cover
             report[name] = {"error": str(e)}

@@ -127,6 +127,29 @@ class TestEndToEnd:
             np.testing.assert_array_equal(pattern, sp)
             assert (freq, ok) == (sf, sok)
 
+    def test_mark_segments_lowlink_packed(self, source_video, tmp_path,
+                                          monkeypatch):
+        """mark_segments over the LL transport with copies>=3 engages the
+        cross-segment PackedTwoPlane dispatcher; outputs must verify exactly
+        like the full-frame path's."""
+        monkeypatch.setenv("VFP_LOWLINK", "1")
+        from vfp_tpu.fingerprint.marker import verify_segments
+
+        segs = segment_video(source_video, tmp_path / "segs", 1.0)
+        assert len(segs) == 3  # 6-frame segments: packing spans segments
+        stats: dict = {}
+        marked, payloads, copies = mark_segments(
+            segs, tmp_path / "marked", copies=3, batch_size=8, stats=stats)
+        assert all(ok for _, _, ok in verify_segments(marked))
+        # packed dispatch happened.  The exact call count is scheduling-
+        # dependent (a fast writer thread collecting into a pending chunk
+        # forces a power-of-two ladder flush — only possible when the
+        # pipeline is drained, where the extra call is free), but it is
+        # bounded: ladder shapes are powers of two, so 18 frames can never
+        # take more than 2 calls per 6-frame segment (4+2) nor fewer than 2
+        assert 2 <= stats["packed_device_calls"] <= 2 * len(segs)
+        assert stats["stage_seconds"]["dispatch"] > 0.0
+
     def test_segment_majorities_mixed_dims(self, tmp_path, rng):
         """Chunk packing must flush at a dim change, never mixing shapes in
         one device batch; per-file votes stay exact."""

@@ -130,6 +130,76 @@ class TestLowLinkMarker:
         np.testing.assert_array_equal(outs[0], direct)
 
 
+class TestPackedTwoPlane:
+    def test_packed_matches_unpacked_across_segments(self, rng):
+        """4 'segments' x 6 frames share packed 16-frame device calls; every
+        segment's marked output must be bit-identical to its own unpacked
+        two-plane LowLinkMarker.  Collecting the tail before a pack boundary
+        forces the power-of-two ladder flush (16 + 8 here => 2 calls for 24
+        frames instead of 4)."""
+        from vfp_tpu.pipeline.lowlink import PackedTwoPlane
+
+        codec = DwtDctSvd()
+        cap = codec.wm_capacity((64, 96, 3))
+        segs = [natural_frames(rng, 6, 64, 96) for _ in range(4)]
+        wms = [
+            [Shuffler(key=0).generate_wm(payload_for_segment(i, c), cap)
+             for c in range(3)]
+            for i in range(4)
+        ]
+        packer = PackedTwoPlane(codec, pack=16)
+        mms = [LowLinkMarker(codec, w, batch_size=16, packer=packer) for w in wms]
+        assert all(m._packer is packer for m in mms)
+        handles = [m.submit(f) for m, f in zip(mms, segs)]
+        gots = [m.collect(h) for m, h in zip(mms, handles)]
+        assert packer.calls == 2  # one full 16-chunk + one forced ladder 8
+        for got, w, f in zip(gots, wms, segs):
+            want = LowLinkMarker(codec, w, batch_size=16).mark_all(f)
+            np.testing.assert_array_equal(got, want)
+
+    def test_dim_change_flushes_chunk(self, rng):
+        """A submission with different frame dims must never share a chunk
+        with pending pieces of another shape."""
+        from vfp_tpu.pipeline.lowlink import PackedTwoPlane
+
+        codec = DwtDctSvd()
+        packer = PackedTwoPlane(codec, pack=16)
+        a = natural_frames(rng, 5, 64, 96)
+        b = natural_frames(rng, 5, 80, 112)
+        mk = lambda f: LowLinkMarker(  # noqa: E731
+            codec,
+            [Shuffler(key=0).generate_wm(payload_for_segment(1, c),
+                                         codec.wm_capacity(f.shape[1:]))
+             for c in range(3)],
+            batch_size=16, packer=packer)
+        ma, mb = mk(a), mk(b)
+        ha = ma.submit(a)
+        hb = mb.submit(b)  # dim change: flushes the pending 64x96 pieces
+        got_b = mb.collect(hb)
+        got_a = ma.collect(ha)
+        for m, f, got in ((ma, a, got_a), (mb, b, got_b)):
+            want = LowLinkMarker(codec, [w for w in m._wms_np],
+                                 batch_size=16).mark_all(f)
+            np.testing.assert_array_equal(got, want)
+
+    def test_explicit_flush_and_single_piece(self, rng):
+        from vfp_tpu.pipeline.lowlink import PackedTwoPlane
+
+        codec = DwtDctSvd()
+        cap = codec.wm_capacity((64, 96, 3))
+        frames = natural_frames(rng, 3, 64, 96)
+        wms = [Shuffler(key=0).generate_wm(payload_for_segment(0, c), cap)
+               for c in range(3)]
+        packer = PackedTwoPlane(codec, pack=16)
+        mm = LowLinkMarker(codec, wms, batch_size=16, packer=packer)
+        h = mm.submit(frames)
+        packer.flush()  # stream end: dispatch the 3-frame tail (ladder 2+1)
+        assert packer.calls == 2
+        got = mm.collect(h)
+        want = LowLinkMarker(codec, wms, batch_size=16).mark_all(frames)
+        np.testing.assert_array_equal(got, want)
+
+
 class TestLowLinkExtractor:
     def test_matches_full_frame_extractor(self, rng):
         codec = DwtDctSvd()

@@ -201,6 +201,24 @@ def mark_segments(
     wt.start()
 
     mms: list = []
+    packers: dict = {}  # (h, w) -> PackedTwoPlane shared across segments
+
+    def _packer(h, w, n_variants):
+        # two-plane device calls depend only on the LL, so one call can carry
+        # frames of MANY segments (each marker selects its variants host-side
+        # afterwards) — 6-frame HLS segments no longer pay one relay call each
+        if n_variants < 3:
+            return None
+        from ..pipeline.embedder import use_lowlink
+
+        if not use_lowlink(codec):
+            return None
+        if (h, w) not in packers:
+            from ..pipeline.lowlink import PackedTwoPlane
+
+            packers[(h, w)] = PackedTwoPlane(codec, pack=max(batch_size, 16))
+        return packers[(h, w)]
+
     _prefetch(0)
     for pi, (seg_idx, seg_file, todo) in enumerate(plans):
         _prefetch(pi + 1)
@@ -218,7 +236,8 @@ def mark_segments(
                 )
                 for c in todo
             ]
-            mm = MultiMarker(codec, wms, batch_size=batch_size)
+            mm = MultiMarker(codec, wms, batch_size=batch_size,
+                             packer=_packer(h, w, len(todo)))
             paths = [str(marked_dir / f"marked_seg{seg_idx}_copy{c}{out_ext}") for c in todo]
             writers = {
                 c: open_writer(
@@ -255,6 +274,8 @@ def mark_segments(
             segment_payloads[f"{seg_idx}_{copy_index}"] = payload.tolist()
             logger.info("marked segment %d copy %d -> %s", seg_idx, copy_index, out_file)
         segment_copies["segments"][str(seg_idx)] = seg_entry
+    for p in packers.values():  # dispatch any tail partial chunk now, not at
+        p.flush()  # the writer's collect (device starts while writes finish)
     wq.put(None)
     wt.join()
     pool.shutdown(wait=False)
@@ -262,6 +283,9 @@ def mark_segments(
         if mm._ll is not None:
             for sk, sv in mm._ll.stage_seconds.items():
                 ss[sk] += sv
+    for p in packers.values():  # shared dispatch/fetch seconds live here
+        for sk, sv in p.stage_seconds.items():
+            ss[sk] += sv
     if werr:
         # unlink every file touched at/after the failure so a resume=True
         # rerun re-marks those segments instead of trusting truncated output
@@ -284,6 +308,8 @@ def mark_segments(
         stats["host_busy_seconds"] = round(host, 3)
         stats["link_device_wait_seconds"] = round(
             ss["dispatch"] + ss["link_fetch"] + ss["device_full"], 3)
+        if packers:
+            stats["packed_device_calls"] = sum(p.calls for p in packers.values())
     return marked, segment_payloads, segment_copies
 
 

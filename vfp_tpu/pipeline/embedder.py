@@ -76,7 +76,7 @@ class MultiMarker:
     'variant' mesh axis on multi-chip, parallel/sharded.py).  On TPU the
     flagship codec routes through the low-link LL-domain transport."""
 
-    def __init__(self, codec, wms: np.ndarray, batch_size: int = 16):
+    def __init__(self, codec, wms: np.ndarray, batch_size: int = 16, packer=None):
         import jax.numpy as jnp
 
         self.codec = codec
@@ -88,7 +88,7 @@ class MultiMarker:
             from .lowlink import LowLinkMarker
 
             self._ll = LowLinkMarker(codec, [np.asarray(w).reshape(-1) for w in wms],
-                                     batch_size)
+                                     batch_size, packer=packer)
         self._fn = jax.jit(jax.vmap(lambda f, w: codec.mark_frames(f, w), in_axes=(None, 0)))
 
     @property

@@ -202,14 +202,137 @@ def _mark_fn_2plane(codec):
     return fn
 
 
+class _Chunk:
+    """One packed device call: LL pieces from >=1 submissions."""
+
+    __slots__ = ("dev", "np", "once")
+
+    def __init__(self):
+        import threading
+
+        self.dev = None  # device handle(s) after flush: [(dll_dev, k), ...]
+        self.np = None  # materialized [2, n, hc, wc] int8
+        self.once = threading.Lock()
+
+
+class PackedTwoPlane:
+    """Shared two-plane dispatcher: packs LL submissions from multiple
+    LowLinkMarker instances (same codec + frame dims) into uniform
+    ``pack``-frame device calls.
+
+    Motivation: the relay charges ~25 ms+ per device call and per fetch RPC;
+    HLS segments are ~6 frames, so per-segment dispatch is call-bound.  The
+    two-plane delta (``_mark_fn_2plane``) depends only on the LL — not on any
+    segment's watermarks — so one call can serve frames of many segments and
+    every instance selects its own variants host-side afterwards.
+
+    Shape discipline: flushes happen at exactly ``pack`` frames; a forced
+    partial flush (collect overtaking submit, or stream end) is decomposed
+    into power-of-two calls, so the compiled-shape set is bounded by
+    {pack, 2^i < pack} regardless of scheduling — nondeterministic shapes
+    would mean nondeterministic multi-second XLA compiles inside timed runs.
+    """
+
+    def __init__(self, codec, pack: int = 16):
+        import threading
+
+        assert lowlink_ok(codec)
+        self.codec = codec
+        self.pack = int(pack)
+        self.chan = active_channel(codec)
+        self._fn = _mark_fn_2plane(codec)
+        self._lock = threading.Lock()
+        self._pend: list = []  # np f16 LL pieces
+        self._pend_n = 0
+        self._cur = _Chunk()
+        self.stage_seconds = {"dispatch": 0.0, "link_fetch": 0.0}
+        self.calls = 0
+
+    def submit_ll(self, ll: np.ndarray):
+        """[k, hc, wc] f16 -> ticket: [(chunk, offset, n), ...] pieces."""
+        pieces = []
+        with self._lock:
+            if self._pend and self._pend[0].shape[1:] != ll.shape[1:]:
+                self._flush_locked()  # dim change: never mix shapes in a chunk
+            pos, k = 0, len(ll)
+            while pos < k:
+                take = min(self.pack - self._pend_n, k - pos)
+                self._pend.append(ll[pos : pos + take])
+                pieces.append((self._cur, self._pend_n, take))
+                self._pend_n += take
+                pos += take
+                if self._pend_n == self.pack:
+                    self._flush_locked()
+        return pieces
+
+    def _flush_locked(self):
+        if not self._pend:
+            return
+        import time
+
+        import jax.numpy as jnp
+
+        ll = (self._pend[0] if len(self._pend) == 1
+              else np.concatenate(self._pend))
+        t0 = time.perf_counter()
+        if len(ll) == self.pack:
+            self._cur.dev = [(self._fn(jnp.asarray(ll)), self.pack)]
+            self.calls += 1
+        else:
+            # forced partial flush: power-of-two ladder keeps shapes bounded
+            devs, pos, rem = [], 0, len(ll)
+            step = 1 << (self.pack.bit_length() - 1)
+            while rem:
+                while step > rem:
+                    step >>= 1
+                devs.append((self._fn(jnp.asarray(ll[pos : pos + step])), step))
+                self.calls += 1
+                pos += step
+                rem -= step
+            self._cur.dev = devs
+        self.stage_seconds["dispatch"] += time.perf_counter() - t0
+        self._cur = _Chunk()
+        self._pend, self._pend_n = [], 0
+
+    def flush(self):
+        """Dispatch any pending partial chunk (stream end)."""
+        with self._lock:
+            self._flush_locked()
+
+    def fetch(self, pieces) -> np.ndarray:
+        """Ticket -> [2, k, hc, wc] int8 (one whole-chunk fetch, cached)."""
+        import time
+
+        for chunk, _, _ in pieces:
+            if chunk.dev is None and chunk.np is None:
+                with self._lock:
+                    # re-check: only a still-pending chunk (== self._cur) may
+                    # be flushed here; a racing submit may have flushed it
+                    if chunk.dev is None and chunk.np is None:
+                        self._flush_locked()
+        out = []
+        for chunk, off, n in pieces:
+            with chunk.once:
+                if chunk.np is None:
+                    t0 = time.perf_counter()
+                    chunk.np = np.concatenate(
+                        [np.asarray(d) for d, _ in chunk.dev], axis=1)
+                    self.stage_seconds["link_fetch"] += time.perf_counter() - t0
+                    chunk.dev = None  # free device buffers
+            out.append(chunk.np[:, off : off + n])
+        return out[0] if len(out) == 1 else np.concatenate(out, axis=1)
+
+
 class LowLinkMarker:
     """MultiMarker-compatible variant marker over the LL-domain transport.
 
     ``submit``/``collect`` split dispatch from the (link-bound) fetch so a
     pipelined caller can overlap device work + transfers with host encode.
+    When a shared ``packer`` (PackedTwoPlane) is supplied and the two-plane
+    path applies, device calls are packed across instances/segments.
     """
 
-    def __init__(self, codec, wms, batch_size: int = 16):
+    def __init__(self, codec, wms, batch_size: int = 16, packer=None):
         assert lowlink_ok(codec), "LowLinkMarker requires a single-channel DwtDctSvd codec"
         self.codec = codec
         self.chan = active_channel(codec)
@@ -220,6 +343,8 @@ class LowLinkMarker:
         # host (V-independent device work + down-leg); V <= 2: per-variant
         # planes are the same or less traffic, keep the direct path
         self._two_plane = len(self._wms_np) >= 3
+        self._packer = (packer if self._two_plane and packer is not None
+                        and packer.codec is codec else None)
         self._masks: dict = {}  # (hc, wc) -> [V, hc, wc] bool, built lazily
         self._fn = (_mark_fn_2plane(codec) if self._two_plane
                     else _mark_fn(codec, len(self._wms_np)))
@@ -251,13 +376,16 @@ class LowLinkMarker:
         # the persistent compile cache absorbs them across runs.
         ll = host_ll(frames, self.chan)
         t1 = time.perf_counter()
-        if self._two_plane:
+        if self._packer is not None:
+            handle = (self._packer.submit_ll(ll), frames, k)
+        elif self._two_plane:
             handle = (self._fn(jnp.asarray(ll)), frames, k)
         else:
             handle = (self._fn(jnp.asarray(ll), self._wms), frames, k)
         t2 = time.perf_counter()
         self.stage_seconds["host_ll"] += t1 - t0
-        self.stage_seconds["dispatch"] += t2 - t1
+        if self._packer is None:  # packer times its own (shared) dispatches
+            self.stage_seconds["dispatch"] += t2 - t1
         return handle
 
     def _bit_masks(self, hc: int, wc: int) -> np.ndarray:
@@ -281,13 +409,17 @@ class LowLinkMarker:
 
         dll_dev, frames, k = handle
         t0 = time.perf_counter()
-        dll = np.asarray(dll_dev)[:, :k]  # [V or 2, k, hc, wc] int8
+        if self._packer is not None:
+            dll = self._packer.fetch(dll_dev)  # [2, k, hc, wc] int8
+        else:
+            dll = np.asarray(dll_dev)[:, :k]  # [V or 2, k, hc, wc] int8
         t1 = time.perf_counter()
         if self._two_plane:
             masks = self._bit_masks(*dll.shape[-2:])  # [V, hc, wc]
             dll = np.where(masks[:, None, :, :], dll[1], dll[0])
         out = reconstruct_all(frames, dll, self.chan)
-        self.stage_seconds["link_fetch"] += t1 - t0
+        if self._packer is None:  # packer times its own fetch (shared chunks)
+            self.stage_seconds["link_fetch"] += t1 - t0
         self.stage_seconds["reconstruct"] += time.perf_counter() - t1
         return out
 
