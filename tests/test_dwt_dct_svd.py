@@ -68,9 +68,18 @@ class TestOracleParity:
     """The TPU codec must interoperate with the reference algorithm."""
 
     def test_decode_oracle_marked(self, rng):
-        """Frames marked by the reference math must decode on the TPU path."""
+        """Frames marked by the reference math must decode on the TPU path.
+
+        iid-random uint8 frames are the worst case: the marked frame's u8
+        round-off perturbs s0 by ~1, leaving some blocks within float noise
+        of the QIM decision edge, where the oracle's f64(+DCT) and our
+        f32(no-DCT) s0 may land on different sides.  The per-block agreement
+        bar therefore needs a sample large enough that a couple of borderline
+        blocks can't dominate (48 blocks -> one flip = 0.979); the payload
+        equality below is the actual interop guarantee (repetition voting
+        absorbs borderline blocks by design, like any real channel noise)."""
         codec = DwtDctSvd()
-        frame = rng.randint(0, 256, (48, 64, 3)).astype(np.uint8)
+        frame = rng.randint(0, 256, (96, 128, 3)).astype(np.uint8)
         cap = codec.wm_capacity(frame.shape)
         wm = Shuffler(key=0).generate_wm(PAYLOAD, cap).flatten().astype(np.float64)
         marked = oracle.mark_frame_u8(frame, wm)

@@ -5,9 +5,19 @@ size, so the multi-op embed pipeline (color, Haar, layout, QIM, inverse,
 epilogue = 7+ launches) is launch-bound.  This kernel does the ENTIRE
 flagship embed per (batch, STRIP-row strip) grid cell in one launch:
 
-  u8 -> f32 -> channel lincomb -> Haar LL -> 4x4-block SoA -> DCT ->
-  dominant triplet -> QIM -> rank-1 -> IDCT -> LL delta -> spatial delta ->
+  u8 -> f32 -> channel lincomb -> Haar LL -> 4x4-block SoA ->
+  dominant triplet -> QIM -> rank-1 -> LL delta -> spatial delta ->
   delta-identity epilogue (x + du * M_BWD[:, chan]) -> u8
+
+The reference's per-block DCT/IDCT pair is OMITTED: it is an orthogonal
+similarity, so the dominant triplet — and the rank-1 QIM update mapped back
+to the spatial block — is identical computed on the raw LL block (proof:
+wm/dwt_dct_svd.py module docstring).  That deletes what used to be the
+kernel's two largest matmuls (the [16*NBR, 16*NBR] permuted-Kronecker DCTs)
+AND their layout role: the component-major regrouping those matmuls carried
+in their permutation factors is now done for free by (a) ordering the
+pair-sum constant R1's rows r-major (LL row br*4+r emitted at position
+r*NBR+br) and (b) 8-sublane-aligned static slices of the selection outputs.
 
 Mosaic has no strided lane slicing (it lowers as an unsupported gather), so
 the Haar lane-pair sum and the stride-4 block-column selection are folded
@@ -15,8 +25,8 @@ into four small selection matmuls with two-hot columns:
 S_c[j, n] = 1 iff j in {8n+2c, 8n+2c+1}.  The pattern is 8-periodic, so one
 [CHUNK, CHUNK/8] matrix serves every static lane chunk of the strip; the
 transposes scatter the LL delta back onto the 2x2 quads.  Row-side pairing
-is the [STRIP/2, STRIP] analogue R1.  Everything else is elementwise on lane vectors
-or 16x16 MXU matmuls (the Kronecker DCT).
+is the [STRIP/2, STRIP] analogue R1.  Everything else is elementwise on
+[NBR, nbw] tiles (VPU).
 """
 
 from __future__ import annotations
@@ -30,12 +40,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
-from ..ops.soa import dct_kron
 from .qim import _triplet_core
 
 STRIP = 64  # rows per grid cell (u8 sublane tile)
-NBR = STRIP // 8  # QIM block-rows per cell; the block-diagonal DCT is
-# kron(I_NBR, K) [16*NBR, 16*NBR] — NBR=8 fills the MXU's 128 rows exactly
+NBR = STRIP // 8  # QIM block-rows per cell: component tiles are [NBR, nbw],
+# a full 8-sublane f32 tile, so the triplet math runs at full VPU utilization
 MAX_CHUNK = 512  # lane-chunk cap (HIGHEST-precision matmuls need VMEM headroom)
 MAX_CHUNKS = 16  # in-kernel segment cap: Mosaic's scoped VMEM grows with the
 # number of per-chunk selection matmuls (W=856 -> 107 segments compiled to a
@@ -84,40 +93,23 @@ def _consts(chunk: int):
         for n in range(nb):
             st[c, n, 8 * n + 2 * c] = 1.0
             st[c, n, 8 * n + 2 * c + 1] = 1.0
+    # R1 rows are ordered r-major — LL row br*4+r lands at r*NBR+br — so the
+    # 16 component tiles of the SoA blocks are 8-sublane-aligned STATIC
+    # SLICES of the selection outputs (component (r, c) = rows
+    # [r*NBR, (r+1)*NBR) of mc[c]); no permutation matmul, no concats.
+    # r1t's columns follow the same order, so the delta path needs none
+    # either.  (The DCT that used to sit between these layouts is omitted —
+    # see module docstring.)
     r1 = np.zeros((STRIP // 2, STRIP), np.float32)
-    for i in range(STRIP // 2):
-        r1[i, 2 * i] = 1.0
-        r1[i, 2 * i + 1] = 1.0
-    k = dct_kron(4)
-    # kron(I_NBR, k): all block-rows' DCTs stack on sublanes into ONE
-    # [16*NBR, 16*NBR] HIGHEST matmul — NBR x fewer (and better-filled) MXU
-    # pass groups than NBR [16, 16] dots.  Row/column PERMUTATIONS are folded
-    # into the constants so the kernel never reorders rows at runtime (the
-    # previous layout concatenated 128 single [1, nbw] rows per direction,
-    # and ran the triplet math 8x on 1-sublane rows):
-    #   input  layout (Q):  c*32 + 4*br + r   — [mc[0]; ...; mc[3]] stacked
-    #   output layout (P):  (r*4+c)*NBR + br  — "component-major": each of
-    #     the 16 block components is an [NBR, nbw] tile, so the triplet math
-    #     runs ONCE on 8-sublane tiles
-    #   idct out      (R):  c*32 + br*4 + r   — scatter-back groups c
-    #     contiguous, no per-row concat
-    kron_k = np.kron(np.eye(NBR, dtype=np.float32), k).astype(np.float32)
-    p = np.zeros((16 * NBR, 16 * NBR), np.float32)
-    q = np.zeros_like(p)
-    rr = np.zeros_like(p)
     for br in range(NBR):
         for r in range(4):
-            for c in range(4):
-                blk = br * 16 + r * 4 + c
-                p[(r * 4 + c) * NBR + br, blk] = 1.0
-                q[blk, c * (4 * NBR) + 4 * br + r] = 1.0
-                rr[c * (4 * NBR) + br * 4 + r, blk] = 1.0
-    k1 = (p @ kron_k @ q).astype(np.float32)
-    k2 = (rr @ kron_k.T @ p.T).astype(np.float32)
-    return s, st, r1, np.ascontiguousarray(0.5 * r1.T), k1, k2
+            i = br * 4 + r  # LL row within the strip
+            r1[r * NBR + br, 2 * i] = 1.0
+            r1[r * NBR + br, 2 * i + 1] = 1.0
+    return s, st, r1, np.ascontiguousarray(0.5 * r1.T)
 
 
-def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref, o_ref):
+def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
     chan, scale, nbh, nbw_real, chunk = static
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
@@ -130,12 +122,12 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
     # rows, so cp + 0.5 -> llr + 1.0 (exact), saving a full-res [STRIP, W]
     # add; the Haar 0.5 lives in the s constants (see _consts)
     cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
-    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # [32, W]
+    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # [32, W], row r*NBR+br
     off2 = 2.0 * float(OFF_FWD[chan])
     if off2:
         llr = llr + off2
 
-    # lane compaction: for each c, Mc[16, nbw] (pair-sum + stride-4 select)
+    # lane compaction: for each c, Mc[32, nbw] (pair-sum + stride-4 select)
     mc = []
     for c in range(4):
         segs = [
@@ -145,36 +137,25 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref, kt_ref
         ]
         mc.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
 
-    # component-major QIM: the permuted DCT constant (see _consts) maps the
-    # stacked LL rows straight to 16 contiguous [NBR, nbw] component tiles,
-    # so the triplet math runs ONCE on full 8-sublane tiles and the kernel
-    # performs no single-row concatenations at all
+    # component-major QIM on the RAW spatial blocks (DCT omitted — module
+    # docstring): r1's r-major row order makes component (r, c) an 8-sublane
+    # -aligned slice of mc[c], so the triplet math runs ONCE on full
+    # [NBR, nbw] tiles with no permutation matmul and no concatenations
     wm = wm_ref[0]  # [NBR, nbw]
     # zero the QIM delta outside the true block grid: padded block columns
     # (lane padding) and partial/padded block rows must pass through as pure
     # color roundtrip, exactly like the XLA path / the reference
     bcol = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 1)
     brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
-    m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
-    # Mosaic DEFAULT contract precision, not HIGHEST (fp32 6-pass): this
-    # Mosaic only lowers DEFAULT/HIGHEST, and DEFAULT is the bf16x3-class
-    # multi-pass contract (the 0/1-selection matmuls already run there
-    # bit-exactly on chip).  Error bound ~511 * 2^-21 * sqrt(128) ~ 3e-3,
-    # far inside the 3.75 QIM decision margin; fewer MXU passes on the
-    # biggest matmul
-    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32)  # DCT, row q*NBR+br
     s0, u, v, rows = _triplet_core(
-        [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
+        [mc[c][NBR * r : NBR * (r + 1), :] for r in range(4) for c in range(4)])
     s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
     ds = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), s_new - s0, 0.0)
-    ddct_cm = jnp.concatenate(
-        [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0)
-    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32)  # IDCT, row c*32+br*4+r
-    # scatter-back: the IDCT constant already emits rows grouped by block
-    # column c (16-row groups at full MXU row utilization)
+    # scatter-back per block column c; delta rows assembled r-major to match
+    # r1t's (permuted) columns
     dllrows = None
     for c in range(4):
-        dc = dm_c[4 * NBR * c : 4 * NBR * (c + 1), :]  # [4*NBR, nbw], row br*4+r
+        dc = jnp.concatenate([ds * (u[r] * v[c]) for r in range(4)], axis=0)
         outs = [
             jnp.dot(dc[:, l * nb : (l + 1) * nb], st_ref[c],
                     preferred_element_type=jnp.float32)
@@ -236,7 +217,7 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
     wm3d = jnp.pad(wm2d.astype(jnp.float32),
                    ((0, strips * NBR - nbh), (0, nbw - nbw_real)))
     wm3d = wm3d.reshape(strips, NBR, nbw)
-    s, st, r1, r1t, k, kt = _consts(chunk)
+    s, st, r1, r1t = _consts(chunk)
     grid = (b, strips)
     out = pl.pallas_call(
         partial(_kernel, (chan, float(scale), nbh, nbw_real, chunk)),
@@ -252,18 +233,16 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP // 2, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP, STRIP // 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(planes, wm3d, jnp.asarray(s), jnp.asarray(st), jnp.asarray(r1),
-      jnp.asarray(r1t), jnp.asarray(k), jnp.asarray(kt))
+      jnp.asarray(r1t))
     return out if wp == w else out[:, :, :, :w]
 
 
-def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
+def _decode_kernel(static, x_ref, s_ref, r1_ref, o_ref):
     chan, scale, chunk = static
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
     w = x.shape[-1]
@@ -272,7 +251,7 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
     # same constant folds as the mark kernel: Haar 0.5 in s, +0.5 chroma
     # offset applied as +1.0 after the pair-sum matmul
     cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
-    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)
+    llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # row r*NBR+br
     off2 = 2.0 * float(OFF_FWD[chan])
     if off2:
         llr = llr + off2
@@ -284,10 +263,10 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, k_ref, o_ref):
             for l in range(n_chunks)
         ]
         mc.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
-    m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
-    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32)  # component-major DCT (3-pass: see mark kernel)
+    # raw spatial blocks straight into the triplet (DCT omitted; component
+    # (r, c) is an aligned slice of mc[c] — see the mark kernel)
     s0, u, v, rows = _triplet_core(
-        [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
+        [mc[c][NBR * r : NBR * (r + 1), :] for r in range(4) for c in range(4)])
     o_ref[0, 0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)  # [NBR, nbw]
 
 
@@ -308,7 +287,7 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
     if wp != w:
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     strips = pl.cdiv(h, STRIP)
-    s, st, r1, r1t, k, kt = _consts(chunk)
+    s, st, r1, r1t = _consts(chunk)
     out = pl.pallas_call(
         partial(_decode_kernel, (chan, float(scale), chunk)),
         out_shape=jax.ShapeDtypeStruct((b, strips, NBR, nbw), jnp.float32),
@@ -319,12 +298,11 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
             pl.BlockSpec((4, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP // 2, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, NBR, nbw), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(planes, jnp.asarray(s), jnp.asarray(r1), jnp.asarray(k))
+    )(planes, jnp.asarray(s), jnp.asarray(r1))
     return out.reshape(b, strips * NBR, nbw)[:, :nbh, :nbw_real]
 
 

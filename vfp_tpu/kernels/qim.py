@@ -1,30 +1,34 @@
 """Fused Pallas kernel for the DWT+DCT+SVD QIM block stage.
 
-Replaces the XLA op chain DCT -> Gram -> powered squarings -> dominant
-triplet -> QIM -> rank-1 update -> IDCT with ONE kernel: a [16, T] tile of
-SoA blocks (block index on lanes, flattened 4x4 block on sublanes) stays in
-VMEM/registers for the whole computation, so HBM sees exactly one read and
-one write of the block data instead of ~15 intermediate passes.
+Replaces the XLA op chain Gram -> powered squarings -> dominant triplet ->
+QIM -> rank-1 update with ONE kernel: a [16, T] tile of SoA blocks (block
+index on lanes, flattened 4x4 block on sublanes) stays in VMEM/registers for
+the whole computation, so HBM sees exactly one read and one write of the
+block data instead of ~15 intermediate passes.
 
-The 4x4 structure is fully unrolled as static Python loops over 16 rows —
-every operation is an elementwise op on [1, T] lane vectors (VPU) except the
-two 16x16 DCT matmuls (MXU).
+The reference's per-block DCT is omitted — it is an orthogonal similarity,
+so the dominant triplet (and therefore s0, the QIM bit, and the rank-1
+update mapped back to the spatial block) is identical computed on the raw
+LL block (proof: wm/dwt_dct_svd.py module docstring; reference:
+src/offmark/embed/dwt_dct_svd_encoder.py:42-45).  That removes the kernel's
+only MXU matmuls: everything is an elementwise op on [1, T] lane vectors
+(pure VPU).
 
 Numerics match ops/soa.py's method='power' path (same squaring count, same
-start vector, same eps guards); parity is asserted in tests/test_kernels.py.
+start vector, same eps guards); parity — including against a WITH-DCT
+reference implementation — is asserted in tests/test_kernels.py.
 """
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.soa import dct_kron, _V0
+from ..ops.soa import _V0
 
 LANES = 512
 _EPS = 1e-20
@@ -99,32 +103,20 @@ def _triplet_core(rows):
     return s0, u, v, rows
 
 
-def _embed_kernel(x_ref, wm_ref, k_ref, kt_ref, scale_ref, o_ref):
+def _embed_kernel(x_ref, wm_ref, scale_ref, o_ref):
     scale = scale_ref[0]
-    m = jnp.dot(k_ref[:], x_ref[0], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # DCT
-    s0, u, v, rows = _triplet_rows(m)
+    s0, u, v, rows = _triplet_rows(x_ref[0])  # raw spatial blocks: DCT omitted
     wm = wm_ref[:]  # [1, T]
     s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
     ds = s_new - s0
     out_rows = [rows[r * 4 + c] + ds * (u[r] * v[c]) for r in range(4) for c in range(4)]
-    m2 = jnp.concatenate(out_rows, axis=0)  # [16, T]
-    o_ref[0] = jnp.dot(kt_ref[:], m2, preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)  # IDCT
+    o_ref[0] = jnp.concatenate(out_rows, axis=0)  # [16, T]
 
 
-def _decode_kernel(x_ref, k_ref, scale_ref, o_ref):
+def _decode_kernel(x_ref, scale_ref, o_ref):
     scale = scale_ref[0]
-    m = jnp.dot(k_ref[:], x_ref[0], preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST)
-    s0, u, v, rows = _triplet_rows(m)
+    s0, u, v, rows = _triplet_rows(x_ref[0])
     o_ref[0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
-
-
-@lru_cache(maxsize=None)
-def _consts():
-    k = dct_kron(4)
-    return k, np.ascontiguousarray(k.T)
 
 
 def _pad_lanes(x, axis):
@@ -141,12 +133,12 @@ def _pad_lanes(x, axis):
 def qim_embed_soa(m: jnp.ndarray, wm: jnp.ndarray, scale: float | jnp.ndarray, interpret: bool = False):
     """[B, 16, N] spatial SoA blocks + [N] bits -> marked spatial SoA blocks.
 
-    Fused equivalent of dct_soa -> top_triplet_soa -> QIM -> rank1 -> idct_soa.
+    Fused equivalent of top_triplet_soa -> QIM -> rank1 (the reference's
+    DCT/IDCT pair cancels — see module docstring).
     """
     b, sq, n0 = m.shape
     m, n = _pad_lanes(m, 2)
     wm = jnp.pad(wm.reshape(1, -1).astype(jnp.float32), ((0, 0), (0, m.shape[2] - n)))
-    k, kt = _consts()
     scale_arr = jnp.asarray([scale], jnp.float32)
     grid = (b, m.shape[2] // LANES)
     out = pl.pallas_call(
@@ -156,13 +148,11 @@ def qim_embed_soa(m: jnp.ndarray, wm: jnp.ndarray, scale: float | jnp.ndarray, i
         in_specs=[
             pl.BlockSpec((1, 16, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 16, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(m, wm, jnp.asarray(k), jnp.asarray(kt), scale_arr)
+    )(m, wm, scale_arr)
     return out[:, :, :n0]
 
 
@@ -171,7 +161,6 @@ def qim_decode_soa(m: jnp.ndarray, scale: float | jnp.ndarray, interpret: bool =
     """[B, 16, N] spatial SoA blocks -> [B, N] decoded bits (f32 0/1)."""
     b, sq, n0 = m.shape
     m, n = _pad_lanes(m, 2)
-    k, _ = _consts()
     scale_arr = jnp.asarray([scale], jnp.float32)
     grid = (b, m.shape[2] // LANES)
     out = pl.pallas_call(
@@ -180,10 +169,9 @@ def qim_decode_soa(m: jnp.ndarray, scale: float | jnp.ndarray, interpret: bool =
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 16, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, 16), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(m, jnp.asarray(k), scale_arr)
+    )(m, scale_arr)
     return out[:, 0, :n0]

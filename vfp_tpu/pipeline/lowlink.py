@@ -452,7 +452,7 @@ class LowLinkExtractor:
             ll = ll16.astype(jnp.float32)
             hc, wc = ll.shape[1:]
             nbh, nbw = hc // codec.blk, wc // codec.blk
-            from ..ops.soa import dct_soa, image_to_soa, top_triplet_soa
+            from ..ops.soa import image_to_soa, top_triplet_soa
 
             m = image_to_soa(ll[:, : nbh * codec.blk, : nbw * codec.blk], codec.blk)
             if codec._use_pallas():
@@ -460,7 +460,9 @@ class LowLinkExtractor:
 
                 bits = qim_decode_soa(m, scale)
             else:
-                s0, _, _ = top_triplet_soa(dct_soa(m))
+                # DCT omitted: orthogonal similarity preserves s0
+                # (wm/dwt_dct_svd.py module docstring)
+                s0, _, _ = top_triplet_soa(m)
                 bits = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
             bits = jnp.pad(bits, ((0, 0), (0, capacity_pad)))
             return deg.degenerate_batch(bits)

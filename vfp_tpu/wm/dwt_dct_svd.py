@@ -11,9 +11,20 @@ src/offmark/extract/dwt_dct_svd_decoder.py:12-37).
 
 TPU-first redesign: the frame loop and the ~32k-per-frame block loop become a
 single jitted program over ``[B, H, W, C]`` — Haar as strided butterflies,
-blocked DCT as einsums, the per-block SVD as a batched dominant-triplet power
-iteration, and the s0 rewrite as a rank-1 update.  No Python control flow
-depends on data; everything vmaps/shards over the batch axis.
+the per-block SVD as a batched dominant-triplet power iteration, and the s0
+rewrite as a rank-1 update.  No Python control flow depends on data;
+everything vmaps/shards over the batch axis.
+
+The reference's per-block DCT is **provably a no-op for this codec** and is
+omitted on every path: cv2.dct is the orthonormal DCT-II, so M = D B Dᵀ with
+D orthogonal, and if B = U S Vᵀ then M = (D U) S (D V)ᵀ — same singular
+values.  Embedding modifies S and inverts: idct(D U S' (D V)ᵀ) = U S' Vᵀ,
+i.e. exactly the rank-1 s0 update applied to the raw LL block; extraction
+reads only s0.  (reference: src/offmark/embed/dwt_dct_svd_encoder.py:42-45
+computes cv2.dct -> np.linalg.svd -> cv2.idct per block; the transform pair
+cancels identically.)  Payloads interoperate unchanged in both directions —
+embedded s0 values sit at QIM bin centers, far from the decision edges this
+float-level difference could move.
 
 Parity quirks reproduced on purpose:
   * capacity is ``H*W // 64`` (reference: dwt_dct_svd_encoder.py:14-17) even
@@ -38,8 +49,6 @@ import jax.numpy as jnp
 from ..ops.color import bgr_to_yuv, yuv_to_bgr
 from ..ops.haar import haar_dwt2, haar_idwt2
 from ..ops.soa import (
-    dct_soa,
-    idct_soa,
     image_to_soa,
     rank1_update_soa,
     soa_to_image,
@@ -104,10 +113,11 @@ class DwtDctSvd:
 
             m = qim_embed_soa(m, bits, scale)
         else:
-            m = dct_soa(m)
+            # no DCT: orthogonal similarity preserves the triplet (see module
+            # docstring) — the rank-1 update applies to the raw LL blocks
             s0, u, v = top_triplet_soa(m)
             s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
-            m = idct_soa(rank1_update_soa(m, s_new - s0, u, v))
+            m = rank1_update_soa(m, s_new - s0, u, v)
         region_new = soa_to_image(m, nbh * self.blk, nbw * self.blk, self.blk)
         if (nbh * self.blk, nbw * self.blk) == ll.shape[1:]:
             ll = region_new
@@ -128,7 +138,7 @@ class DwtDctSvd:
             from ..kernels import qim_decode_soa
 
             return qim_decode_soa(m, scale)
-        s0, _, _ = top_triplet_soa(dct_soa(m))
+        s0, _, _ = top_triplet_soa(m)  # s0(dct(B)) == s0(B): DCT omitted
         return (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)  # [B, N]
 
     # -- YUV-level API -------------------------------------------------------
@@ -185,10 +195,9 @@ class DwtDctSvd:
 
             m2 = qim_embed_soa(m, bits, scale)
         else:
-            d = dct_soa(m)
-            s0, u, v = top_triplet_soa(d)
+            s0, u, v = top_triplet_soa(m)  # DCT omitted (module docstring)
             s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
-            m2 = idct_soa(rank1_update_soa(d, s_new - s0, u, v))
+            m2 = rank1_update_soa(m, s_new - s0, u, v)
         delta = soa_to_image(m2 - m, nbh * self.blk, nbw * self.blk, self.blk)
         if (nbh * self.blk, nbw * self.blk) == (hc, wc):
             return delta
@@ -284,6 +293,6 @@ class DwtDctSvd:
 
             bits = qim_decode_soa(m, scale)
         else:
-            s0, _, _ = top_triplet_soa(dct_soa(m))
+            s0, _, _ = top_triplet_soa(m)  # DCT omitted (module docstring)
             bits = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
         return jnp.pad(bits, ((0, 0), (0, capacity - nbh * nbw)))
