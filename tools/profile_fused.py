@@ -7,8 +7,10 @@ stage N, then emits a uint8 output of the correct shape (with a
 data-dependent-but-zero i32 term so Mosaic can't dead-code the peeled
 stages — u8 vector adds are unsupported, so the dep-add happens in the i32
 domain before the final cast).  Successive deltas attribute time per stage
-on the real chip.  The kernel body mirrors the component-major layout of
-kernels/fused_embed.py (permutations folded into the DCT constants).
+on the real chip.  The kernel body mirrors the no-DCT component-major
+layout of kernels/fused_embed.py (r-major R1 rows; component tiles are
+slices of the selection outputs; the reference's DCT pair is omitted —
+wm/dwt_dct_svd.py docstring).
 
 Run: python tools/profile_fused.py [--iters 64] [--batch 8]
 """
@@ -37,8 +39,7 @@ from vfp_tpu.ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
 
 # "full" runs first as calibration (it is the production kernel verbatim);
 # the peeled stages then attribute the cumulative time
-STAGES = ["full", "cast", "color", "llr_select", "dct", "triplet",
-          "qim_idct", "scatter"]
+STAGES = ["full", "cast", "color", "llr_select", "triplet", "qim", "scatter"]
 
 
 def _dep_i32(val):
@@ -55,8 +56,7 @@ def _to_u8(planes_f32, dep=None):
     return out.astype(jnp.uint8)
 
 
-def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
-            kt_ref, o_ref):
+def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
     stage, chan, scale, nbh, nbw_real, chunk = static
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
@@ -92,14 +92,8 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
         o_ref[0] = _to_u8(x, _dep_i32(mc[0]))
         return
 
-    m_stack = jnp.concatenate(mc, axis=0)  # [16*NBR, nbw], row c*32+4*br+r
-    d_cm = jnp.dot(k_ref[:], m_stack, preferred_element_type=jnp.float32)  # component-major DCT
-    if stage == "dct":
-        o_ref[0] = _to_u8(x, _dep_i32(d_cm))
-        return
-
     s0, u, v, rows = _triplet_core(
-        [d_cm[NBR * qi : NBR * qi + NBR, :] for qi in range(16)])
+        [mc[c][NBR * r : NBR * (r + 1), :] for r in range(4) for c in range(4)])
     if stage == "triplet":
         o_ref[0] = _to_u8(x, _dep_i32(s0))
         return
@@ -109,16 +103,13 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, k_ref,
     brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
     s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * wm) * scale
     ds = jnp.where((bcol < nbw_real) & (j * NBR + brow < nbh), s_new - s0, 0.0)
-    ddct_cm = jnp.concatenate(
-        [ds * (u[r] * v[c]) for r in range(4) for c in range(4)], axis=0)
-    dm_c = jnp.dot(kt_ref[:], ddct_cm, preferred_element_type=jnp.float32)
-    if stage == "qim_idct":
-        o_ref[0] = _to_u8(x, _dep_i32(dm_c))
+    if stage == "qim":
+        o_ref[0] = _to_u8(x, _dep_i32(ds))
         return
 
     dllrows = None
     for c in range(4):
-        dc = dm_c[4 * NBR * c : 4 * NBR * (c + 1), :]
+        dc = jnp.concatenate([ds * (u[r] * v[c]) for r in range(4)], axis=0)
         outs = [
             jnp.dot(dc[:, l * nb : (l + 1) * nb], st_ref[c],
                     preferred_element_type=jnp.float32)
@@ -156,7 +147,7 @@ def peeled_mark(planes, wm2d, stage, scale=15.0, chan=1):
     wm3d = jnp.pad(wm2d.astype(jnp.float32),
                    ((0, strips * NBR - nbh), (0, nbw - nbw_real)))
     wm3d = wm3d.reshape(strips, NBR, nbw)
-    s, st, r1, r1t, k, kt = _consts(chunk)
+    s, st, r1, r1t = _consts(chunk)
     out = pl.pallas_call(
         partial(_kernel, (stage, chan, float(scale), nbh, nbw_real, chunk)),
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
@@ -171,13 +162,11 @@ def peeled_mark(planes, wm2d, stage, scale=15.0, chan=1):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP // 2, STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP, STRIP // 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * NBR, 16 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
     )(planes, wm3d, jnp.asarray(s), jnp.asarray(st), jnp.asarray(r1),
-      jnp.asarray(r1t), jnp.asarray(k), jnp.asarray(kt))
+      jnp.asarray(r1t))
     return out if wp == w else out[:, :, :, :w]
 
 
