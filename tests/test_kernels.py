@@ -42,6 +42,20 @@ class TestQimKernels:
         bits = np.asarray(qim_decode_soa(jnp.asarray(out), SCALE, interpret=True))
         assert (bits == 1.0).mean() > 0.999
 
+    def test_triplet_kernel_matches_xla(self, rng):
+        """qim_triplet_soa == top_triplet_soa (same squaring count/seed)."""
+        from vfp_tpu.kernels import qim_triplet_soa
+
+        m = jnp.asarray(rng.rand(2, 16, 700).astype(np.float32) * 300)
+        s0, u, v = qim_triplet_soa(m, interpret=True)
+        ws0, wu, wv = top_triplet_soa(m, method="power", iters=4)
+        np.testing.assert_allclose(np.asarray(s0), np.asarray(ws0), rtol=2e-5)
+        # u/v sign conventions match (same power construction); compare the
+        # rank-1 action, which is what the codec consumes
+        got = np.asarray(u)[:, :, None, :] * np.asarray(v)[:, None, :, :]
+        want = np.asarray(wu)[:, :, None, :] * np.asarray(wv)[:, None, :, :]
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
     def test_nonaligned_lanes(self, rng):
         """N not a multiple of the 512-lane tile: padding must not leak."""
         for n in (1, 511, 513, 1000):

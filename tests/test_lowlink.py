@@ -46,6 +46,21 @@ class TestHostLL:
 
 
 class TestLowLinkMarker:
+    def test_ll_delta2_matches_per_bit(self, rng):
+        """_ll_delta2 (one triplet solve, both planes) must equal _ll_delta
+        called with all-0 / all-1 bit vectors — bit-exact, same association."""
+        import jax.numpy as jnp
+
+        codec = DwtDctSvd()
+        ll = jnp.asarray(
+            (rng.rand(3, 36, 52).astype(np.float32) * 400 + 50))
+        d2 = np.asarray(codec._ll_delta2(ll, 15.0))
+        nb = (36 // 4) * (52 // 4)
+        for b in (0, 1):
+            want = np.asarray(codec._ll_delta(
+                ll, jnp.full((nb,), float(b), jnp.float32), 15.0))
+            np.testing.assert_array_equal(d2[b], want)
+
     def test_eligibility(self):
         assert lowlink_ok(DwtDctSvd())
         assert not lowlink_ok(DwtDctSvd(scales=(5.0, 15.0, 0.0)))

@@ -119,6 +119,11 @@ def _decode_kernel(x_ref, scale_ref, o_ref):
     o_ref[0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)
 
 
+def _triplet_kernel(x_ref, o_ref):
+    s0, u, v, rows = _triplet_rows(x_ref[0])
+    o_ref[0] = jnp.concatenate([s0] + u + v, axis=0)  # [9, T]
+
+
 def _pad_lanes(x, axis):
     n = x.shape[axis]
     pad = (-n) % LANES
@@ -175,3 +180,28 @@ def qim_decode_soa(m: jnp.ndarray, scale: float | jnp.ndarray, interpret: bool =
         interpret=interpret,
     )(m, scale_arr)
     return out[:, 0, :n0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def qim_triplet_soa(m: jnp.ndarray, interpret: bool = False):
+    """[B, 16, N] spatial SoA blocks -> (s0 [B, N], u [B, 4, N], v [B, 4, N])
+    in one fused launch.
+
+    Lets callers that need several QIM deltas from the SAME blocks (e.g. the
+    low-link transport's two bit-conditional planes) solve the dominant
+    triplet once and assemble each rank-1 delta as cheap XLA elementwise ops.
+    """
+    b, sq, n0 = m.shape
+    m, n = _pad_lanes(m, 2)
+    grid = (b, m.shape[2] // LANES)
+    out = pl.pallas_call(
+        _triplet_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, 9, m.shape[2]), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 16, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 9, LANES), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(m)
+    return out[:, 0, :n0], out[:, 1:5, :n0], out[:, 5:9, :n0]

@@ -181,7 +181,9 @@ def _mark_fn_2plane(codec):
     selections from these two planes.  Device compute and down-leg traffic
     become V-independent; the host (which generated the watermarks) picks
     per block.  Bit-exact vs the per-variant path: int8 wire quantization is
-    elementwise, so quantize-then-select == select-then-quantize.
+    elementwise, so quantize-then-select == select-then-quantize.  Both
+    planes come from ONE dominant-triplet solve (codec._ll_delta2): s0/u/v
+    are bit-independent, so solving per plane would double the device work.
     """
     import jax
     import jax.numpy as jnp
@@ -191,12 +193,7 @@ def _mark_fn_2plane(codec):
 
     @jax.jit
     def fn(ll16):
-        ll = ll16.astype(jnp.float32)
-        nb = (ll.shape[1] // codec.blk) * (ll.shape[2] // codec.blk)
-        d01 = jnp.stack(
-            [codec._ll_delta(ll, jnp.full((nb,), b, jnp.float32), scale)
-             for b in (0.0, 1.0)]
-        )
+        d01 = codec._ll_delta2(ll16.astype(jnp.float32), scale)
         return jnp.clip(jnp.round(d01 * DLL_Q), -127.0, 127.0).astype(jnp.int8)
 
     return fn

@@ -183,25 +183,58 @@ class DwtDctSvd:
             c[:, 0::2, 0::2] + c[:, 0::2, 1::2] + c[:, 1::2, 0::2] + c[:, 1::2, 1::2]
         ) * 0.5
 
-    def _ll_delta(self, ll: jnp.ndarray, wm_bits: jnp.ndarray, scale: float) -> jnp.ndarray:
-        """Marked-LL minus LL over the block-aligned region, zero elsewhere."""
+    def _region_triplet(self, ll: jnp.ndarray):
+        """(m [B,16,N], s0, u, v) of the block-aligned LL region — the shared
+        front half of every delta helper (one fused launch on TPU)."""
         b, hc, wc = ll.shape
         nbh, nbw = hc // self.blk, wc // self.blk
-        region = ll[:, : nbh * self.blk, : nbw * self.blk]
-        m = image_to_soa(region, self.blk)
-        bits = wm_bits[: nbh * nbw].astype(jnp.float32)
+        m = image_to_soa(ll[:, : nbh * self.blk, : nbw * self.blk], self.blk)
         if self._use_pallas():
-            from ..kernels import qim_embed_soa
+            from ..kernels import qim_triplet_soa
 
-            m2 = qim_embed_soa(m, bits, scale)
+            s0, u, v = qim_triplet_soa(m)
         else:
             s0, u, v = top_triplet_soa(m)  # DCT omitted (module docstring)
-            s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
-            m2 = rank1_update_soa(m, s_new - s0, u, v)
-        delta = soa_to_image(m2 - m, nbh * self.blk, nbw * self.blk, self.blk)
+        return m, s0, u, v
+
+    def _delta_image(self, ds, u, v, ll_shape):
+        """ds·u·vᵀ assembled back onto the LL grid (zero outside the region)."""
+        b, hc, wc = ll_shape
+        nbh, nbw = hc // self.blk, wc // self.blk
+        zero = jnp.zeros((b, self.blk * self.blk, nbh * nbw), jnp.float32)
+        delta = soa_to_image(rank1_update_soa(zero, ds, u, v),
+                             nbh * self.blk, nbw * self.blk, self.blk)
         if (nbh * self.blk, nbw * self.blk) == (hc, wc):
             return delta
-        return jnp.zeros_like(ll).at[:, : nbh * self.blk, : nbw * self.blk].set(delta)
+        return (jnp.zeros(ll_shape, jnp.float32)
+                .at[:, : nbh * self.blk, : nbw * self.blk].set(delta))
+
+    def _ll_delta(self, ll: jnp.ndarray, wm_bits: jnp.ndarray, scale: float) -> jnp.ndarray:
+        """Marked-LL minus LL over the block-aligned region, zero elsewhere.
+
+        The delta is assembled DIRECTLY as ds·u·vᵀ (not marked-minus-input,
+        which loses low bits of the small delta to cancellation against the
+        large LL values)."""
+        b, hc, wc = ll.shape
+        nbh, nbw = hc // self.blk, wc // self.blk
+        m, s0, u, v = self._region_triplet(ll)
+        bits = wm_bits[: nbh * nbw].astype(jnp.float32)
+        s_new = (jnp.floor(s0 / scale) + 0.25 + 0.5 * bits[None, :]) * scale
+        return self._delta_image(s_new - s0, u, v, ll.shape)
+
+    def _ll_delta2(self, ll: jnp.ndarray, scale: float) -> jnp.ndarray:
+        """[2, B, hc, wc]: the LL delta under bit=0 and bit=1 for EVERY block,
+        from ONE dominant-triplet solve (s0/u/v are bit-independent — only
+        the QIM target differs).  Feeds the low-link two-plane transport."""
+        m, s0, u, v = self._region_triplet(ll)
+        base = jnp.floor(s0 / scale) + 0.25
+        # identical float association to _ll_delta's s_new — (floor + 0.25)
+        # + 0.5*bit — so the planes stay BIT-EXACT vs the per-variant path
+        # (test_two_plane_matches_per_variant)
+        return jnp.stack([
+            self._delta_image((base + 0.5 * b) * scale - s0, u, v, ll.shape)
+            for b in (0.0, 1.0)
+        ])
 
     # -- uint8 frame-level API (the jittable hot path) -----------------------
     def mark_frames(self, frames: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
