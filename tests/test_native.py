@@ -83,6 +83,30 @@ class TestNativeRawVideo:
         r.close()
 
 
+class TestNativeHostLL:
+    @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
+    def test_matches_numpy_to_one_ulp(self, rng):
+        """vfpio_host_ll vs the cv2/NumPy fallback: equal except where a
+        different (but valid) f32 association lands exactly on an f16
+        rounding boundary — then off by at most 1 f16 ulp."""
+        from vfp_tpu.pipeline import lowlink
+
+        frames = rng.randint(0, 256, (3, 79, 101, 3), np.uint8)
+        assert lowlink._native_reconstruct() is not None
+        got = lowlink.host_ll(frames, 1)
+        orig = lowlink._native_reconstruct
+        lowlink._native_reconstruct = lambda: None
+        try:
+            want = lowlink.host_ll(frames, 1)
+        finally:
+            lowlink._native_reconstruct = orig
+        assert got.shape == want.shape == (3, 38, 50)
+        a, b = got.astype(np.float32), want.astype(np.float32)
+        ulp = np.spacing(np.abs(want)).astype(np.float32)
+        assert np.all(np.abs(a - b) <= ulp * 1.01)
+        assert (a == b).mean() > 0.99
+
+
 class TestNativeReconstruct:
     @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
     def test_matches_numpy_bitexact(self, rng):

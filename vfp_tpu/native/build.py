@@ -30,7 +30,11 @@ def load_vfpio():
         if shutil.which("g++") is None:
             raise RuntimeError("no g++ and no prebuilt libvfpio.so")
         _BUILD.mkdir(exist_ok=True)
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+        # -mf16c/-mavx2: _Float16 (host-LL f16 output) needs F16C on x86;
+        # -ffp-contract=off: no FMA fusion, so float association matches the
+        # NumPy/cv2 reference paths as closely as the source order implies
+        cmd = ["g++", "-O3", "-mf16c", "-mavx2", "-ffp-contract=off",
+               "-shared", "-fPIC", "-std=c++17", "-pthread",
                str(_SRC), "-o", str(so)]
         logger.info("building vfpio: %s", " ".join(cmd))
         subprocess.run(cmd, check=True, capture_output=True)
@@ -50,6 +54,13 @@ def load_vfpio():
     lib.vfpio_write_batch.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
     lib.vfpio_writer_close.restype = ctypes.c_int
     lib.vfpio_writer_close.argtypes = [ctypes.c_void_p]
+    lib.vfpio_host_ll.restype = None
+    lib.vfpio_host_ll.argtypes = [
+        ctypes.c_char_p, ctypes.c_void_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+    ]
     lib.vfpio_reconstruct.restype = None
     lib.vfpio_reconstruct.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p,

@@ -274,6 +274,44 @@ void vfpio_reconstruct(const unsigned char* src, const signed char* dll,
     }
 }
 
+// Fused host-LL for the low-link transport (pipeline/lowlink.py host_ll):
+// u8 BGR frames -> f16 LL band of one YUV channel in ONE pass.
+//   c(x, y) = m0*B + m1*G + m2*R + off       (per pixel, f32)
+//   ll      = (c00 + c01 + c10 + c11) * 0.5  (2x2 quad, same add order as
+//                                             the NumPy path)
+// The NumPy/cv2 composition walks the frame ~5 times through freshly
+// allocated f32 intermediates (~13 ms/frame at 480p, allocator-bound); this
+// reads the u8 row pair once and writes only the f16 LL row (GIL released
+// via ctypes).  f32->f16 uses _Float16 (F16C), round-to-nearest-even like
+// numpy's astype.  Outputs may differ from the cv2 path by 1 f16 ulp on
+// values that land exactly on an f16 rounding boundary (different but valid
+// f32 association) — inside the transport's documented f16-quantization
+// tolerance.  Parity pinned in tests/test_native.py.
+void vfpio_host_ll(const unsigned char* src, _Float16* out,
+                   long k, long h, long w, long h4, long w4,
+                   float m0, float m1, float m2, float off) {
+    const long hc = h4 / 2, wc = w4 / 2;
+    const long row_bytes = w * 3;
+    std::vector<float> c0(w4), c1(w4);
+    for (long f = 0; f < k; ++f) {
+        const unsigned char* base = src + f * h * row_bytes;
+        _Float16* ofr = out + f * hc * wc;
+        for (long y = 0; y < hc; ++y) {
+            const unsigned char* r0 = base + (2 * y) * row_bytes;
+            const unsigned char* r1 = r0 + row_bytes;
+            for (long x = 0; x < w4; ++x) {
+                c0[x] = m0 * r0[3 * x] + m1 * r0[3 * x + 1] + m2 * r0[3 * x + 2] + off;
+                c1[x] = m0 * r1[3 * x] + m1 * r1[3 * x + 1] + m2 * r1[3 * x + 2] + off;
+            }
+            _Float16* orow = ofr + y * wc;
+            for (long x = 0; x < wc; ++x) {
+                float s = ((c0[2 * x] + c0[2 * x + 1]) + c1[2 * x]) + c1[2 * x + 1];
+                orow[x] = (_Float16)(s * 0.5f);
+            }
+        }
+    }
+}
+
 int vfpio_writer_close(void* h) {
     auto* w = static_cast<Writer*>(h);
     {

@@ -48,13 +48,33 @@ def active_channel(codec) -> int:
 
 def host_ll(frames: np.ndarray, chan: int) -> np.ndarray:
     """[k, H, W, 3] uint8 BGR -> [k, h4/2, w4/2] float16 LL of YUV channel
-    ``chan`` (cv2 float constants + orthonormal Haar LL = 2x2 sum / 2)."""
-    import cv2
+    ``chan`` (cv2 float constants + orthonormal Haar LL = 2x2 sum / 2).
 
+    Hot path is the fused C++ pass (native/vfpio.cpp vfpio_host_ll: one u8
+    row-pair read -> one f16 LL row write, GIL released — the NumPy/cv2
+    composition below walks ~5 freshly allocated full-res intermediates and
+    is ~10x slower, allocator-bound).  Outputs match to 1 f16 ulp (different
+    but valid f32 association; tests/test_native.py pins the agreement)."""
     from ..ops.color import M_FWD, OFF_FWD
 
     k, h, w, _ = frames.shape
     h4, w4 = h // 4 * 4, w // 4 * 4
+    lib = _native_reconstruct()
+    if lib is not None:
+        import ctypes
+
+        src = np.ascontiguousarray(frames)
+        out = np.empty((k, h4 // 2, w4 // 2), np.float16)
+        lib.vfpio_host_ll(
+            src.ctypes.data_as(ctypes.c_char_p),
+            out.ctypes.data_as(ctypes.c_void_p),
+            k, h, w, h4, w4,
+            float(M_FWD[chan, 0]), float(M_FWD[chan, 1]),
+            float(M_FWD[chan, 2]), float(OFF_FWD[chan]),
+        )
+        return out
+    import cv2
+
     row = np.ascontiguousarray(M_FWD[chan : chan + 1])
     c = cv2.transform(frames.reshape(k * h, w, 3).astype(np.float32), row)
     c = c.reshape(k, h, w)[:, :h4, :w4] + np.float32(OFF_FWD[chan])
