@@ -522,29 +522,38 @@ def bench_hls_workflow(quick):
     base = Path("bench_tmp_hls")
     shutil.rmtree(base, ignore_errors=True)
     base.mkdir()
+    t_setup0 = time.perf_counter()
     n = 36 if quick else 144  # frames @6fps -> 1s segments
     src = base / "src.rawv"
     with RawVideoWriter(src, 640, 480, fps=6) as w:
         w.write_batch(natural_frames(rng, n, 480, 640))
+    t_setup = time.perf_counter() - t_setup0
     mark_stats: dict = {}
     t0 = time.perf_counter()
     segs = segment_video(src, base / "segments", 1.0)
     t_seg = time.perf_counter() - t0
     marked, payloads, copies = mark_segments(segs, base / "marked", copies=3,
                                              batch_size=8, stats=mark_stats)
+    t2 = time.perf_counter()
     write_hls_playlists(marked, base / "hls", copies=3, segment_duration=1.0)
     wall = time.perf_counter() - t0
     t1 = time.perf_counter()
     ok = sum(r[2] for r in verify_segments(marked, batch_size=16))
     t_verify = time.perf_counter() - t1
     shutil.rmtree(base, ignore_errors=True)
+    # every second of the entry's outer wall is attributed:
+    # setup (synthetic source creation — not workflow) + split + mark +
+    # playlists + verify + teardown; mark_stats' stage_seconds attribute the
+    # mark wall internally (busy + wait buckets sum to ~wall per thread)
     return {
         "segments": len(segs),
         "variants": len(marked),
         "batch": 8,
         "marked_frames_per_sec_incl_io": round(n * 3 / wall, 2),
         "verified": f"{ok}/{len(marked)}",
+        "setup_seconds": round(t_setup, 3),
         "segment_split_seconds": round(t_seg, 3),
+        "playlist_seconds": round(wall - (t2 - t0), 3),
         "verify_seconds": round(t_verify, 3),
         "mark_stats": mark_stats,
     }
@@ -562,6 +571,7 @@ def bench_leak_trace(quick):
     base = Path("bench_tmp_leak")
     shutil.rmtree(base, ignore_errors=True)
     base.mkdir()
+    t_setup0 = time.perf_counter()
     n = 36 if quick else 96
     src = base / "src.rawv"
     with RawVideoWriter(src, 640, 480, fps=6) as w:
@@ -569,6 +579,7 @@ def bench_leak_trace(quick):
     segs = segment_video(src, base / "segments", 1.0)
     marked, payloads, copies = mark_segments(segs, base / "marked_segments", copies=3, batch_size=8)
     write_manifests(base, payloads, copies)
+    t_setup = time.perf_counter() - t_setup0
     pattern = "".join(str(i % 3) for i in range(len(segs)))
     t0 = time.perf_counter()
     leaked, info = generate_leak(base / "segment_copies.json", pattern=pattern)
@@ -580,6 +591,7 @@ def bench_leak_trace(quick):
         "trace_frames_per_sec_incl_io": round(n / wall, 2),
         "fingerprint_recovered": result.fingerprint == info["pattern_string"],
         "success_rate": result.success_rate,
+        "setup_seconds": round(t_setup, 3),  # source synth + mark; not traced
     }
     shutil.rmtree(base, ignore_errors=True)
     return out
@@ -601,12 +613,14 @@ def bench_concurrent_serve(quick):
     base = Path("bench_tmp_serve")
     shutil.rmtree(base, ignore_errors=True)
     base.mkdir()
+    t_setup0 = time.perf_counter()
     n_streams = 2 if quick else 4
     frames_per = 24
     src = base / "src.rawv"
     with RawVideoWriter(src, 320, 240, fps=6) as w:
         w.write_batch(natural_frames(rng, frames_per, 240, 320))
     payload = src.read_bytes()
+    t_setup = time.perf_counter() - t_setup0
 
     def upload(i):
         d = base / f"data{i}"
@@ -634,6 +648,7 @@ def bench_concurrent_serve(quick):
         "streams": n_streams,
         "total_variants": sum(variants),
         "marked_frames_per_sec_incl_io": round(n_streams * frames_per * 3 / wall, 2),
+        "setup_seconds": round(t_setup, 3),
     }
 
 
