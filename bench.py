@@ -10,11 +10,30 @@ runs at seconds per 1080p frame.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 from pathlib import Path
 
 import numpy as np
+
+# Watchdog: if the axon relay is down, backend init hangs indefinitely —
+# fail loudly instead so the driver records an error, not a stall.  Budget
+# covers a cold compile (~40 s) plus the relay's worst observed first-fetch
+# stall (20+ min under load); override with VFP_BENCH_TIMEOUT seconds.
+_TIMEOUT = int(os.environ.get("VFP_BENCH_TIMEOUT", "2100"))
+if hasattr(signal, "SIGALRM") and _TIMEOUT > 0:
+    def _on_timeout(signum, frame):  # pragma: no cover - only fires on a hang
+        print(
+            f"bench.py: no result within {_TIMEOUT}s "
+            "(TPU relay down or stalled); aborting",
+            file=sys.stderr,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(_TIMEOUT)
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
@@ -107,6 +126,7 @@ def main():
         )
 
     tpu_fps = measure_tpu()
+    signal.alarm(0) if hasattr(signal, "SIGALRM") else None
     print(
         json.dumps(
             {
