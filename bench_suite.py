@@ -21,6 +21,7 @@ bytes), which moves the bottleneck back to the single host core (cv2 decode
 
 import argparse
 import json
+import signal
 import sys
 import time
 from pathlib import Path
@@ -665,7 +666,35 @@ def main():
                          "per-run fps list attached — the relay link's wall "
                          "varies ~20x between identical runs, so a single "
                          "sample proves nothing about the code")
+    ap.add_argument("--wait-relay", type=int, default=0, metavar="MIN",
+                    help="poll the TPU relay (in a SUBPROCESS, so a failed "
+                         "init can't poison this process) for up to MIN "
+                         "minutes before starting; exit 3 if it never comes "
+                         "up")
+    ap.add_argument("--entry-timeout", type=int, default=1800, metavar="SEC",
+                    help="per-config watchdog: record an error entry and "
+                         "move on if one config exceeds SEC seconds "
+                         "(0 disables)")
     args = ap.parse_args()
+    if args.wait_relay and args.platform != "cpu":
+        import subprocess
+
+        probe = ("import jax, numpy as np, jax.numpy as jnp; "
+                 "np.asarray(jax.jit(lambda x: x + 1)(jnp.zeros((8, 8))))")
+        deadline = time.perf_counter() + args.wait_relay * 60
+        while True:
+            try:
+                ok = subprocess.run([sys.executable, "-c", probe], timeout=120,
+                                    capture_output=True).returncode == 0
+            except subprocess.TimeoutExpired:  # relay-down inits hang
+                ok = False
+            print(f"relay probe: {'up' if ok else 'down'}", flush=True)
+            if ok:
+                break
+            if time.perf_counter() > deadline:
+                print("relay never came up; aborting", flush=True)
+                sys.exit(3)
+            time.sleep(90)
     if args.platform == "cpu":
         import jax
 
@@ -712,7 +741,20 @@ def main():
             runs = []
             for _ in range(reps):
                 t1 = time.perf_counter()
-                r = fn(args.quick)
+                if args.entry_timeout and hasattr(signal, "SIGALRM"):
+                    # watchdog: a relay stall mid-config raises here instead
+                    # of hanging the whole suite; the error entry is recorded
+                    signal.signal(
+                        signal.SIGALRM,
+                        lambda s, f: (_ for _ in ()).throw(
+                            TimeoutError(f"config exceeded {args.entry_timeout}s")),
+                    )
+                    signal.alarm(args.entry_timeout)
+                try:
+                    r = fn(args.quick)
+                finally:
+                    if hasattr(signal, "SIGALRM"):
+                        signal.alarm(0)
                 r["wall_seconds"] = round(time.perf_counter() - t1, 2)
                 runs.append(r)
             if reps > 1:
