@@ -245,3 +245,39 @@ class TestColorFusedAnalysis:
                 axis=1)
             got = dtcwt_level1_analysis_ll_color(frames, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+class TestFastDots:
+    """fast_dots=True: single-bf16-pass kernel matmuls (3-6x fewer MXU
+    passes).  The bf16 rounding (~2^-9 relative) must stay below the codecs'
+    decision noise: key detection unchanged, image decisions unchanged."""
+
+    def test_key_detection_fast(self, rng):
+        codec = DtcwtKey(fast_dots=True)
+        frames = natural_frames(rng, b=2, h=240, w=320)
+        cap = codec.wm_capacity((240, 320, 3))
+        wm = CorrShuffler(key=3).generate_wm(None, cap)
+        marked = np.asarray(
+            codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        rec = np.asarray(codec.extract_frames(jnp.asarray(marked)))
+        deg, wrong = DeCorrShuffler(key=3), DeCorrShuffler(key=9)
+        assert all(bool(deg.degenerate(rec[i])) for i in range(2))
+        assert not any(bool(wrong.degenerate(rec[i])) for i in range(2))
+        psnr = 10 * np.log10(
+            255**2 / np.mean((marked.astype(float) - frames.astype(float)) ** 2))
+        assert psnr > 35, psnr
+
+    def test_img_decisions_match_exact(self, rng):
+        frames = natural_frames(rng, b=1, h=128, w=192)
+        img = (rng.rand(27, 48) > 0.5).astype(np.float32) * 255
+        outs = {}
+        for fast in (False, True):
+            codec = DtcwtImg(fast_dots=fast)
+            cap = codec.wm_capacity((128, 192, 3))
+            wm = BlockShuffler(key=5).generate_wm(img, cap)
+            marked = codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32))
+            rec = np.asarray(codec.extract_frames(marked))[0]
+            outs[fast] = np.asarray(
+                DeBlockShuffler(key=5).set_shape(img.shape).degenerate(rec))
+        agree = ((outs[True] > 127) == (outs[False] > 127)).mean()
+        assert agree > 0.97, agree

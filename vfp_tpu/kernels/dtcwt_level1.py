@@ -179,7 +179,7 @@ def _split3(x):
     return x0, x1, x2
 
 
-def dot_exact(a, b, *, exact_side: str):
+def dot_exact(a, b, *, exact_side: str, fast: bool = False):
     """MXU matmul, full f32 accuracy in 3 passes instead of HIGHEST's 6.
 
     Mosaic cannot lower precision=HIGH inside kernels, and DEFAULT rounds
@@ -187,7 +187,15 @@ def dot_exact(a, b, *, exact_side: str):
     constant selection/filter matrix), splitting only the OTHER operand
     into three bf16 terms makes sum(term_i @ B) exact to f32 working
     precision: B carries no rounding, and the three splits of A cover 24+
-    mantissa bits.  ``exact_side`` names the bf16-exact operand."""
+    mantissa bits.  ``exact_side`` names the bf16-exact operand.
+
+    ``fast=True`` drops to ONE bf16 pass (data rounded to 8 mantissa bits,
+    ~0.2% relative on pixel-range values) — 3x fewer MXU passes and no
+    split subtract/cast chain.  Correct only for consumers that tolerate
+    bf16 noise (the DT-CWT codecs decode by thresholded correlation)."""
+    if fast:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     if exact_side == "left":
         c = a.astype(jnp.bfloat16)
         parts = _split3(b)
@@ -197,21 +205,22 @@ def dot_exact(a, b, *, exact_side: str):
     return sum(jnp.dot(p, c, preferred_element_type=jnp.float32) for p in parts)
 
 
-def _decimate(x, s2_ref, ct, chunk):
+def _decimate(x, s2_ref, ct, chunk, fast: bool = False):
     """Lane decimation via 2-periodic selection matmul.  x may be a sublane
     STACK of many 16-row planes — feeding the MXU 128 rows at a time is 8x
     fewer passes than per-plane [16, chunk] matmuls."""
     w = x.shape[-1]
     n = w // chunk
     segs = [
-        dot_exact(x[:, l * chunk : (l + 1) * chunk], s2_ref[ct], exact_side="right")
+        dot_exact(x[:, l * chunk : (l + 1) * chunk], s2_ref[ct],
+                  exact_side="right", fast=fast)
         for l in range(n)
     ]
     return segs[0] if n == 1 else jnp.concatenate(segs, axis=1)
 
 
 def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
-    h_total, chunk = static
+    h_total, chunk, fast = static
     j = pl.program_id(1)
     b = pl.program_id(0)
 
@@ -233,7 +242,7 @@ def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
         # row stage: one [64, 48] @ [48, W] matmul covers all four
         # (filter lo/hi) x (phase rt) passes; the ref holds the matrix with
         # its sqrt(2) factored out (dyadic -> bf16-exact), restored after
-        rows_all = dot_exact(rsel_ref[:], x, exact_side="left")
+        rows_all = dot_exact(rsel_ref[:], x, exact_side="left", fast=fast)
         rows_all = rows_all * _consts_l1(chunk)[4]
         m = STRIP // 2
         rows = {(fi, rt): rows_all[(2 * fi + rt) * m : (2 * fi + rt + 1) * m]
@@ -253,7 +262,7 @@ def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
                 convs.append(_col_conv(rows[(row_f, rt)], col_f, rc))
         stacked = jnp.concatenate(convs, axis=0)  # [8m, W]
         for ct in range(2):
-            dec = _decimate(stacked, s2_ref, ct, chunk)
+            dec = _decimate(stacked, s2_ref, ct, chunk, fast)
             for band in range(4):
                 for rt in range(2):
                     i = 2 * band + rt
@@ -263,8 +272,9 @@ def _kernel(static, x_hbm, rsel_ref, s2_ref, o_ref):
                   sem=pltpu.SemaphoreType.DMA((3,)))
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False,
+                          fast: bool = False):
     """f32 [B, H, W] (H, W even, see kernel_eligible) -> [B, 16, H/2, W/2]:
     planes [ll*4, lh*4, hl*4, hh*4], tree combos (rt, ct) row-major within
     each band."""
@@ -276,7 +286,7 @@ def dtcwt_level1_analysis(x: jnp.ndarray, interpret: bool = False):
     chunk = pick_chunk2(w)
     rsel, s2, _, _, _ = _consts_l1(chunk)
     out = pl.pallas_call(
-        partial(_kernel, (h, chunk)),
+        partial(_kernel, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 16, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -297,7 +307,7 @@ def _kernel_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
     """Lowpass-only level 1: the mask channel (Y) only ever consumes its
     lowpass chain, so skipping the 12 subband planes cuts the kernel's
     HBM write traffic 4x and drops 6 of the 8 column convolutions."""
-    h_total, chunk = static
+    h_total, chunk, fast = static
     j = pl.program_id(1)
     b = pl.program_id(0)
 
@@ -316,7 +326,7 @@ def _kernel_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
         c0.wait(); c1.wait(); c2.wait()
 
         x = scratch[:]
-        rows_all = dot_exact(rsel_ref[:], x, exact_side="left")
+        rows_all = dot_exact(rsel_ref[:], x, exact_side="left", fast=fast)
         rows_all = rows_all * _consts_l1(chunk)[4]
         m = STRIP // 2
         h0 = _consts_l1(chunk)[2]
@@ -325,7 +335,7 @@ def _kernel_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
                  for rt in range(2)]  # (fi=0, rt) blocks of rows_all
         stacked = jnp.concatenate(convs, axis=0)  # [2m, W]
         for ct in range(2):
-            dec = _decimate(stacked, s2_ref, ct, chunk)
+            dec = _decimate(stacked, s2_ref, ct, chunk, fast)
             for rt in range(2):
                 o_ref[0, rt * 2 + ct] = dec[rt * m : (rt + 1) * m]
 
@@ -333,8 +343,9 @@ def _kernel_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
                   sem=pltpu.SemaphoreType.DMA((3,)))
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_level1_analysis_ll(x: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_level1_analysis_ll(x: jnp.ndarray, interpret: bool = False,
+                             fast: bool = False):
     """f32 [B, H, W] -> [B, 4, H/2, W/2]: just the 4 tree lowpasses
     (combos (rt, ct) row-major)."""
     b, h0_, w0 = x.shape
@@ -345,7 +356,7 @@ def dtcwt_level1_analysis_ll(x: jnp.ndarray, interpret: bool = False):
     chunk = pick_chunk2(w)
     rsel, s2, _, _, _ = _consts_l1(chunk)
     out = pl.pallas_call(
-        partial(_kernel_ll, (h, chunk)),
+        partial(_kernel_ll, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -367,7 +378,7 @@ def _kernel_ll_color(static, x_hbm, rsel_ref, s2_ref, o_ref):
     lowpasses out.  Fusing the channel lincombs into the analysis kernel
     skips materializing two full-resolution f32 planes between the XLA
     color pass and the transform (the decode path's only use of them)."""
-    h_total, chunk = static
+    h_total, chunk, fast = static
     j = pl.program_id(1)
     b = pl.program_id(0)
 
@@ -395,14 +406,14 @@ def _kernel_ll_color(static, x_hbm, rsel_ref, s2_ref, o_ref):
         for ch in range(2):  # 0 = Y, 1 = U
             plane = (M_FWD[ch, 0] * x[0] + M_FWD[ch, 1] * x[1]
                      + M_FWD[ch, 2] * x[2] + OFF_FWD[ch])
-            rows_all = dot_exact(rsel_ref[:], plane, exact_side="left")
+            rows_all = dot_exact(rsel_ref[:], plane, exact_side="left", fast=fast)
             rows_all = rows_all * _consts_l1(chunk)[4]
             rc = RollCache()
             convs = [_col_conv(rows_all[rt * m : (rt + 1) * m], h0, rc)
                      for rt in range(2)]
             stacked = jnp.concatenate(convs, axis=0)
             for ct in range(2):
-                dec = _decimate(stacked, s2_ref, ct, chunk)
+                dec = _decimate(stacked, s2_ref, ct, chunk, fast)
                 for rt in range(2):
                     o_ref[0, ch, rt * 2 + ct] = dec[rt * m : (rt + 1) * m]
 
@@ -413,8 +424,9 @@ def _kernel_ll_color(static, x_hbm, rsel_ref, s2_ref, o_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_level1_analysis_ll_color(frames: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_level1_analysis_ll_color(frames: jnp.ndarray, interpret: bool = False,
+                                   fast: bool = False):
     """u8 frames [B, H, W, 3] -> [B, 2, 4, H/2, W/2]: the 4 tree lowpasses
     of the Y (ch 0) and U (ch 1) channels, color lincomb fused in-kernel."""
     b, h0_, w0, _ = frames.shape
@@ -426,7 +438,7 @@ def dtcwt_level1_analysis_ll_color(frames: jnp.ndarray, interpret: bool = False)
     chunk = pick_chunk2(w)
     rsel, s2, _, _, _ = _consts_l1(chunk)
     out = pl.pallas_call(
-        partial(_kernel_ll_color, (h, chunk)),
+        partial(_kernel_ll_color, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 2, 4, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -447,7 +459,7 @@ def _kernel_ll_color_y(static, x_hbm, rsel_ref, s2_ref, o_ref):
     """Y-only color-fused lowpass-only level 1 (see _kernel_ll_color): the
     EMBED path analyzes only the Y channel (masks); the U delta is added
     back in pixel space by linearity, so U is never transformed at all."""
-    h_total, chunk = static
+    h_total, chunk, fast = static
     j = pl.program_id(1)
     b = pl.program_id(0)
 
@@ -474,14 +486,14 @@ def _kernel_ll_color_y(static, x_hbm, rsel_ref, s2_ref, o_ref):
         h0 = _consts_l1(chunk)[2]
         plane = (M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1]
                  + M_FWD[0, 2] * x[2] + OFF_FWD[0])
-        rows_all = dot_exact(rsel_ref[:], plane, exact_side="left")
+        rows_all = dot_exact(rsel_ref[:], plane, exact_side="left", fast=fast)
         rows_all = rows_all * _consts_l1(chunk)[4]
         rc = RollCache()
         convs = [_col_conv(rows_all[rt * m : (rt + 1) * m], h0, rc)
                  for rt in range(2)]
         stacked = jnp.concatenate(convs, axis=0)
         for ct in range(2):
-            dec = _decimate(stacked, s2_ref, ct, chunk)
+            dec = _decimate(stacked, s2_ref, ct, chunk, fast)
             for rt in range(2):
                 o_ref[0, rt * 2 + ct] = dec[rt * m : (rt + 1) * m]
 
@@ -492,8 +504,9 @@ def _kernel_ll_color_y(static, x_hbm, rsel_ref, s2_ref, o_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_level1_analysis_ll_y(frames: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_level1_analysis_ll_y(frames: jnp.ndarray, interpret: bool = False,
+                               fast: bool = False):
     """u8 frames [B, H, W, 3] -> [B, 4, H/2, W/2]: the 4 tree lowpasses of
     the Y channel only, color lincomb fused in-kernel (embed mask path)."""
     b, h0_, w0, _ = frames.shape
@@ -505,7 +518,7 @@ def dtcwt_level1_analysis_ll_y(frames: jnp.ndarray, interpret: bool = False):
     chunk = pick_chunk2(w)
     rsel, s2, _, _, _ = _consts_l1(chunk)
     out = pl.pallas_call(
-        partial(_kernel_ll_color_y, (h, chunk)),
+        partial(_kernel_ll_color_y, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -561,8 +574,20 @@ def _consts_q(chunk: int):
     return qrow, s2, filters
 
 
+def _row_dot_q(rsel_ref, xstack, fast: bool):
+    """Q-shift row matmul: coefficients are NOT bf16-exact, so the exact
+    path needs HIGHEST (6 passes); fast mode is one bf16 pass (filter
+    rounding ~2^-9 relative — below the codecs' quantized-mask noise)."""
+    if fast:
+        return jnp.dot(rsel_ref[:].astype(jnp.bfloat16),
+                       xstack.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
-    h_total, chunk = static
+    h_total, chunk, fast = static
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -586,10 +611,9 @@ def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
         kq = STRIP + 2 * QHALO
         m = STRIP // 2
         # one block-diagonal [128, 256] row matmul for all 4 tree combos
-        # (q-shift coefficients are not bf16-exact: stay at HIGHEST)
+        # (q-shift coefficients are not bf16-exact: HIGHEST, or 1 fast pass)
         xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
-        lohi = jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        lohi = _row_dot_q(rsel_ref, xstack, fast)
         # combos in _TREES order; plane layout matches level 1:
         # [ll x 4 combos, lh x 4, hl x 4, hh x 4].  All 16 column convs are
         # stacked on sublanes so the single phase-0 decimation runs as
@@ -604,7 +628,7 @@ def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
                 [(lo, h0c), (lo, h1c), (hi, h0c), (hi, h1c)]
             ):
                 convs[band * 4 + ci] = _col_conv(rows_, col_f, rc)
-        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk)
+        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk, fast)
         for p in range(16):
             o_ref[0, p] = dec[p * m : (p + 1) * m]
 
@@ -617,7 +641,7 @@ def _kernel_q(static, x_hbm, rsel_ref, s2_ref, o_ref):
 
 def _kernel_q_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
     """Lowpass-only q-shift level (see _kernel_ll): 4 output planes."""
-    h_total, chunk = static
+    h_total, chunk, fast = static
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -641,13 +665,12 @@ def _kernel_q_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
         kq = STRIP + 2 * QHALO
         m = STRIP // 2
         xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
-        lohi = jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        lohi = _row_dot_q(rsel_ref, xstack, fast)
         convs = []
         for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
             lo = lohi[ci * STRIP : ci * STRIP + m]
             convs.append(_col_conv(lo, filters[ct][0]))
-        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk)
+        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk, fast)
         for ci in range(4):
             o_ref[0, ci] = dec[ci * m : (ci + 1) * m]
 
@@ -658,8 +681,9 @@ def _kernel_q_ll(static, x_hbm, rsel_ref, s2_ref, o_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_qshift_analysis_ll(ll4: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_qshift_analysis_ll(ll4: jnp.ndarray, interpret: bool = False,
+                             fast: bool = False):
     """f32 [B, 4, h, w] tree lowpasses -> [B, 4, h/2, w/2] next-level
     lowpasses only."""
     b, t, h0_, w0 = ll4.shape
@@ -670,7 +694,7 @@ def dtcwt_qshift_analysis_ll(ll4: jnp.ndarray, interpret: bool = False):
     chunk = pick_chunk2(w)
     rsel, s2, _ = _consts_q(chunk)
     out = pl.pallas_call(
-        partial(_kernel_q_ll, (h, chunk)),
+        partial(_kernel_q_ll, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -687,8 +711,9 @@ def dtcwt_qshift_analysis_ll(ll4: jnp.ndarray, interpret: bool = False):
     return _valid(out, h0_, w0)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_qshift_analysis(ll4: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_qshift_analysis(ll4: jnp.ndarray, interpret: bool = False,
+                          fast: bool = False):
     """f32 [B, 4, h, w] tree lowpasses (combo order (rt,ct) row-major) ->
     [B, 16, h/2, w/2] planes [ll*4, lh*4, hl*4, hh*4] (q-shift level)."""
     b, t, h0_, w0 = ll4.shape
@@ -699,7 +724,7 @@ def dtcwt_qshift_analysis(ll4: jnp.ndarray, interpret: bool = False):
     chunk = pick_chunk2(w)
     rsel, s2, _ = _consts_q(chunk)
     out = pl.pallas_call(
-        partial(_kernel_q, (h, chunk)),
+        partial(_kernel_q, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 16, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -721,7 +746,7 @@ def _kernel_q_hp(static, x_hbm, rsel_ref, s2_ref, o_ref):
     The codecs' MASK path (q2c magnitudes of the Y level-2 subbands) never
     reads the ll band — skipping it drops 4 of 16 column convs, a quarter
     of the decimation matmul rows, and a quarter of the HBM writes."""
-    h_total, chunk = static
+    h_total, chunk, fast = static
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -745,8 +770,7 @@ def _kernel_q_hp(static, x_hbm, rsel_ref, s2_ref, o_ref):
         kq = STRIP + 2 * QHALO
         m = STRIP // 2
         xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
-        lohi = jnp.dot(rsel_ref[:], xstack, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        lohi = _row_dot_q(rsel_ref, xstack, fast)
         # bands [lh, hl, hh] only: (lo, h1c), (hi, h0c), (hi, h1c)
         convs = [None] * 12
         for ci, (rt, ct) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
@@ -758,7 +782,7 @@ def _kernel_q_hp(static, x_hbm, rsel_ref, s2_ref, o_ref):
                 [(lo, h1c), (hi, h0c), (hi, h1c)]
             ):
                 convs[band * 4 + ci] = _col_conv(rows_, col_f, rc)
-        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk)
+        dec = _decimate(jnp.concatenate(convs, axis=0), s2_ref, 0, chunk, fast)
         for p in range(12):
             o_ref[0, p] = dec[p * m : (p + 1) * m]
 
@@ -769,8 +793,9 @@ def _kernel_q_hp(static, x_hbm, rsel_ref, s2_ref, o_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_qshift_analysis_hp(ll4: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_qshift_analysis_hp(ll4: jnp.ndarray, interpret: bool = False,
+                             fast: bool = False):
     """f32 [B, 4, h, w] tree lowpasses -> [B, 12, h/2, w/2] highpass planes
     [lh*4, hl*4, hh*4] (no ll band — the codec mask/coefficient paths)."""
     b, t, h0_, w0 = ll4.shape
@@ -781,7 +806,7 @@ def dtcwt_qshift_analysis_hp(ll4: jnp.ndarray, interpret: bool = False):
     chunk = pick_chunk2(w)
     rsel, s2, _ = _consts_q(chunk)
     out = pl.pallas_call(
-        partial(_kernel_q_hp, (h, chunk)),
+        partial(_kernel_q_hp, (h, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 12, h // 2, w // 2), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[

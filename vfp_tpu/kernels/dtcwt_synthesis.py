@@ -105,6 +105,20 @@ def _poly_col_sum(pairs):
     return acc
 
 
+def _row_dot(rmat, stackx, scale, fast: bool):
+    """Synthesis row matmul: 3-pass exact split when the matrix factors to a
+    bf16-exact form (dyadic LeGall), HIGHEST otherwise — or ONE bf16 pass in
+    fast mode (see dtcwt_level1.dot_exact for the precision rationale)."""
+    if fast:
+        res = jnp.dot(rmat.astype(jnp.bfloat16), stackx.astype(jnp.bfloat16),
+                      preferred_element_type=jnp.float32)
+        return res if scale is None else res * scale
+    if scale is not None:
+        return dot_exact(rmat, stackx, exact_side="left") * scale
+    return jnp.dot(rmat, stackx, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
 def _dma_window(x_hbm, scratch, sem, b, g, hp, planes_idx):
     """Copy input rows [SROWS*g - 8, SROWS*g + SROWS + 8) (circular)."""
     main = pl.multiple_of(SROWS * g, 8)
@@ -146,7 +160,7 @@ def _consts_syn_q():
 
 
 def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
-    (hp,) = static
+    hp, fast = static
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -162,11 +176,7 @@ def _kernel_syn_q(static, x_hbm, rmat_ref, o_ref):
             planes = [(band, ci) for band in bands for ci in cis]
             stackx = jnp.concatenate([scratch[band * 4 + ci]
                                       for band, ci in planes], axis=0)
-            res = (dot_exact(rmat_ref[gi], stackx, exact_side="left") * scale
-                   if scale is not None else
-                   jnp.dot(rmat_ref[gi], stackx,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST))
+            res = _row_dot(rmat_ref[gi], stackx, scale, fast)
             for k, (band, ci) in enumerate(planes):
                 rrows[(band, ci)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
         for ci, (rt, ct) in enumerate(_TREES):
@@ -197,7 +207,7 @@ def _consts_syn_l1():
 
 
 def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
-    (hp,) = static
+    hp, fast = static
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -214,11 +224,7 @@ def _kernel_syn_l1(static, x_hbm, rmat_ref, o_ref):
             planes = [(band, ci) for band in bands for ci in cis]
             stackx = jnp.concatenate([scratch[band * 4 + ci]
                                       for band, ci in planes], axis=0)
-            res = (dot_exact(rmat_ref[gi], stackx, exact_side="left") * scale
-                   if scale is not None else
-                   jnp.dot(rmat_ref[gi], stackx,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST))
+            res = _row_dot(rmat_ref[gi], stackx, scale, fast)
             for k, (band, ci) in enumerate(planes):
                 rrows[(band, ci)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
         for p in range(2):
@@ -263,8 +269,9 @@ def _finish(phases, h, w, roll):
     return jnp.roll(x, roll, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False,
+                           fast: bool = False):
     """[B, 16, h, w] planes [ll*4, lh*4, hl*4, hh*4] (combos (rt,ct)
     row-major) -> [B, 4, 2h, 2w] tree lowpasses, BEFORE per-level cropping."""
     b, t, h, w = planes.shape
@@ -273,7 +280,7 @@ def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False):
     planes, hp, wp = _prep(planes, h, w)
     rmat, _, _ = _consts_syn_q()
     out = pl.pallas_call(
-        partial(_kernel_syn_q, (hp,)),
+        partial(_kernel_syn_q, (hp, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 4, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // SROWS),
         in_specs=[
@@ -288,8 +295,9 @@ def dtcwt_qshift_synthesis(planes: jnp.ndarray, interpret: bool = False):
     return _finish(out, h, w, C.QSHIFT_ROLL_A)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False,
+                           fast: bool = False):
     """[B, 16, h, w] level-1 planes -> [B, 2h, 2w] reconstruction (the 4-tree
     average), BEFORE final cropping."""
     b, t, h, w = planes.shape
@@ -298,7 +306,7 @@ def dtcwt_legall_synthesis(planes: jnp.ndarray, interpret: bool = False):
     planes, hp, wp = _prep(planes, h, w)
     rmat, _, _ = _consts_syn_l1()
     out = pl.pallas_call(
-        partial(_kernel_syn_l1, (hp,)),
+        partial(_kernel_syn_l1, (hp, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // SROWS),
         in_specs=[
@@ -335,7 +343,7 @@ def _consts_syn_q_ll():
 
 
 def _kernel_syn_q_ll(static, x_hbm, rmat_ref, o_ref):
-    (hp,) = static
+    hp, fast = static
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -344,11 +352,7 @@ def _kernel_syn_q_ll(static, x_hbm, rmat_ref, o_ref):
         _, taps, scale = _consts_syn_q_ll()
         for rt in range(2):
             stackx = jnp.concatenate([scratch[2 * rt], scratch[2 * rt + 1]], axis=0)
-            res = (dot_exact(rmat_ref[rt], stackx, exact_side="left") * scale
-                   if scale is not None else
-                   jnp.dot(rmat_ref[rt], stackx,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST))
+            res = _row_dot(rmat_ref[rt], stackx, scale, fast)
             for k in range(2):
                 ci = 2 * rt + k
                 ct = _TREES[ci][1]
@@ -376,7 +380,7 @@ def _consts_syn_l1_ll():
 
 
 def _kernel_syn_l1_ll(static, x_hbm, rmat_ref, o_ref):
-    (hp,) = static
+    hp, fast = static
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -386,11 +390,7 @@ def _kernel_syn_l1_ll(static, x_hbm, rmat_ref, o_ref):
         rrows = {}
         for rt in range(2):
             stackx = jnp.concatenate([scratch[2 * rt], scratch[2 * rt + 1]], axis=0)
-            res = (dot_exact(rmat_ref[rt], stackx, exact_side="left") * scale
-                   if scale is not None else
-                   jnp.dot(rmat_ref[rt], stackx,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST))
+            res = _row_dot(rmat_ref[rt], stackx, scale, fast)
             for k in range(2):
                 rrows[2 * rt + k] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
         for p in range(2):
@@ -425,7 +425,7 @@ def _consts_syn_l1_hp():
 
 def _kernel_syn_l1_hp(static, x_hbm, rmat2_ref, rmat4_ref, o_ref):
     """Input planes [lh*4, hl*4, hh*4] (combo ci fastest); ll = 0."""
-    (hp,) = static
+    hp, fast = static
     b = pl.program_id(0)
     g = pl.program_id(1)
 
@@ -437,22 +437,14 @@ def _kernel_syn_l1_hp(static, x_hbm, rmat2_ref, rmat4_ref, o_ref):
             # fi=0 (g0 rows): lh planes only — input planes ci = 2rt, 2rt+1
             stackx = jnp.concatenate([scratch[2 * rt], scratch[2 * rt + 1]],
                                      axis=0)
-            res = (dot_exact(rmat2_ref[rt], stackx, exact_side="left") * s2
-                   if s2 is not None else
-                   jnp.dot(rmat2_ref[rt], stackx,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST))
+            res = _row_dot(rmat2_ref[rt], stackx, s2, fast)
             for k in range(2):
                 rrows[(1, 2 * rt + k)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
             # fi=1 (g1 rows): hl + hh planes — input planes (band-1)*4 + ci
             planes = [(band, ci) for band in (2, 3) for ci in (2 * rt, 2 * rt + 1)]
             stackx = jnp.concatenate(
                 [scratch[(band - 1) * 4 + ci] for band, ci in planes], axis=0)
-            res = (dot_exact(rmat4_ref[rt], stackx, exact_side="left") * s4
-                   if s4 is not None else
-                   jnp.dot(rmat4_ref[rt], stackx,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST))
+            res = _row_dot(rmat4_ref[rt], stackx, s4, fast)
             for k, (band, ci) in enumerate(planes):
                 rrows[(band, ci)] = res[2 * SROWS * k : 2 * SROWS * (k + 1)]
         for p in range(2):
@@ -471,8 +463,9 @@ def _kernel_syn_l1_hp(static, x_hbm, rmat2_ref, rmat4_ref, o_ref):
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_legall_synthesis_hp(subs12: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_legall_synthesis_hp(subs12: jnp.ndarray, interpret: bool = False,
+                              fast: bool = False):
     """[B, 12, h, w] level-1 highpass planes [lh*4, hl*4, hh*4] (zero
     lowpass) -> [B, 2h, 2w] reconstruction, BEFORE final cropping.  The
     codec decode inverts exactly this pyramid — skipping the ll band drops
@@ -483,7 +476,7 @@ def dtcwt_legall_synthesis_hp(subs12: jnp.ndarray, interpret: bool = False):
     subs12, hp, wp = _prep(subs12, h, w)
     rmat2, rmat4, _, _, _ = _consts_syn_l1_hp()
     out = pl.pallas_call(
-        partial(_kernel_syn_l1_hp, (hp,)),
+        partial(_kernel_syn_l1_hp, (hp, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // SROWS),
         in_specs=[
@@ -500,8 +493,9 @@ def dtcwt_legall_synthesis_hp(subs12: jnp.ndarray, interpret: bool = False):
     return _finish(out, h, w, C.LEGALL_ROLL)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_qshift_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_qshift_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False,
+                              fast: bool = False):
     """[B, 4, h, w] tree lowpasses (highpasses all zero) -> [B, 4, 2h, 2w]
     tree lowpasses of the level below, BEFORE per-level cropping."""
     b, t, h, w = ll4.shape
@@ -510,7 +504,7 @@ def dtcwt_qshift_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
     ll4, hp, wp = _prep(ll4, h, w)
     rmat, _, _ = _consts_syn_q_ll()
     out = pl.pallas_call(
-        partial(_kernel_syn_q_ll, (hp,)),
+        partial(_kernel_syn_q_ll, (hp, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 4, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // SROWS),
         in_specs=[
@@ -525,8 +519,9 @@ def dtcwt_qshift_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
     return _finish(out, h, w, C.QSHIFT_ROLL_A)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def dtcwt_legall_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_legall_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False,
+                              fast: bool = False):
     """[B, 4, h, w] level-1 tree lowpasses (highpasses all zero) ->
     [B, 2h, 2w] reconstruction (4-tree average), BEFORE final cropping."""
     b, t, h, w = ll4.shape
@@ -535,7 +530,7 @@ def dtcwt_legall_synthesis_ll(ll4: jnp.ndarray, interpret: bool = False):
     ll4, hp, wp = _prep(ll4, h, w)
     rmat, _, _ = _consts_syn_l1_ll()
     out = pl.pallas_call(
-        partial(_kernel_syn_l1_ll, (hp,)),
+        partial(_kernel_syn_l1_ll, (hp, fast)),
         out_shape=jax.ShapeDtypeStruct((b, 2, 2 * hp, wp), jnp.float32),
         grid=(b, hp // SROWS),
         in_specs=[

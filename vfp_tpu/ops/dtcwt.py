@@ -163,10 +163,15 @@ class Transform2d:
 
     ``backend``: 'auto' (fused Pallas analysis kernels on TPU for eligible
     shapes, XLA otherwise), 'xla' (always the op-by-op path), or 'pallas'
-    (force the kernels; interpret mode off-TPU — for tests)."""
+    (force the kernels; interpret mode off-TPU — for tests).
 
-    def __init__(self, backend: str = "auto"):
+    ``fast``: single-bf16-pass kernel matmuls (3-6x fewer MXU passes; data
+    rounded to 8 mantissa bits — see dtcwt_level1.dot_exact).  Applies only
+    to the kernel path; the XLA fallback stays at full f32 precision."""
+
+    def __init__(self, backend: str = "auto", fast: bool = False):
         self.backend = backend
+        self.fast = fast
 
     def _kernel_mode(self, h: int, w: int):
         """None (XLA path) or the kernels' ``interpret`` flag."""
@@ -230,7 +235,7 @@ class Transform2d:
         mode = self._kernel_mode(h, w)
         if mode is not None:
             from ..kernels.dtcwt_level1 import dtcwt_level1_analysis
-            planes = dtcwt_level1_analysis(x.reshape(-1, h, w), interpret=mode)
+            planes = dtcwt_level1_analysis(x.reshape(-1, h, w), interpret=mode, fast=self.fast)
             ll, subs = self._unpack_planes(planes.reshape(*lead, 16, h // 2, w // 2))
         else:
             ll = {}
@@ -247,7 +252,7 @@ class Transform2d:
             mode = self._kernel_mode(h, w)
             if mode is not None:
                 from ..kernels.dtcwt_level1 import dtcwt_qshift_analysis
-                planes = dtcwt_qshift_analysis(stack.reshape(-1, 4, h, w), interpret=mode)
+                planes = dtcwt_qshift_analysis(stack.reshape(-1, 4, h, w), interpret=mode, fast=self.fast)
                 ll, subs = self._unpack_planes(planes.reshape(*lead, 16, h // 2, w // 2))
             else:
                 subs = {}
@@ -307,7 +312,7 @@ class Transform2d:
                 planes = self._pack_planes(ll, subs)
                 lead = planes.shape[:-3]
                 out = dtcwt_qshift_synthesis(
-                    planes.reshape(-1, 16, h, w), interpret=mode
+                    planes.reshape(-1, 16, h, w), interpret=mode, fast=self.fast
                 ).reshape(*lead, 4, 2 * h, 2 * w)
                 if sizes is not None:
                     oh, ow = sizes[lev]
@@ -339,7 +344,7 @@ class Transform2d:
             planes = self._pack_planes(ll, subs)
             lead = planes.shape[:-3]
             out = dtcwt_legall_synthesis(
-                planes.reshape(-1, 16, h, w), interpret=mode
+                planes.reshape(-1, 16, h, w), interpret=mode, fast=self.fast
             ).reshape(*lead, 2 * h, 2 * w)
             if sizes is not None:
                 oh, ow = sizes[0]
@@ -395,7 +400,7 @@ class Transform2d:
         mode = self._kernel_mode(h, w)
         if mode is not None:
             from ..kernels.dtcwt_level1 import dtcwt_level1_analysis
-            planes = dtcwt_level1_analysis(x.reshape(-1, h, w), interpret=mode)
+            planes = dtcwt_level1_analysis(x.reshape(-1, h, w), interpret=mode, fast=self.fast)
             planes = planes.reshape(*lead, 16, h // 2, w // 2)
         else:
             ll = {}
@@ -413,7 +418,7 @@ class Transform2d:
             if mode is not None:
                 from ..kernels.dtcwt_level1 import dtcwt_qshift_analysis
                 planes = dtcwt_qshift_analysis(stack.reshape(-1, 4, h, w),
-                                               interpret=mode)
+                                               interpret=mode, fast=self.fast)
                 planes = planes.reshape(*lead, 16, h // 2, w // 2)
             else:
                 ll = {}
@@ -448,7 +453,7 @@ class Transform2d:
             if mode is not None:
                 from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis
                 out = dtcwt_qshift_synthesis(
-                    kplanes.reshape(-1, 16, h, w), interpret=mode
+                    kplanes.reshape(-1, 16, h, w), interpret=mode, fast=self.fast
                 ).reshape(*lead, 4, 2 * h, 2 * w)
             else:
                 ll, subs = self._unpack_planes(kplanes)
@@ -477,7 +482,7 @@ class Transform2d:
         if mode is not None:
             from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis
             out = dtcwt_legall_synthesis(
-                kplanes.reshape(-1, 16, h, w), interpret=mode
+                kplanes.reshape(-1, 16, h, w), interpret=mode, fast=self.fast
             ).reshape(*lead, 2 * h, 2 * w)
         else:
             ll, subs = self._unpack_planes(kplanes)
@@ -511,7 +516,7 @@ class Transform2d:
                                                 dtcwt_level1_analysis_ll)
             fn = dtcwt_level1_analysis_ll if lowpass_only else dtcwt_level1_analysis
             n = 4 if lowpass_only else 16
-            planes = fn(x.reshape(-1, h, w), interpret=mode)
+            planes = fn(x.reshape(-1, h, w), interpret=mode, fast=self.fast)
             return planes.reshape(*lead, n, h // 2, w // 2), orig
         ll = {}
         subs = {}
@@ -535,7 +540,7 @@ class Transform2d:
                                                 dtcwt_qshift_analysis_ll)
             fn = dtcwt_qshift_analysis_ll if lowpass_only else dtcwt_qshift_analysis
             n = 4 if lowpass_only else 16
-            planes = fn(stack.reshape(-1, 4, h, w), interpret=mode)
+            planes = fn(stack.reshape(-1, 4, h, w), interpret=mode, fast=self.fast)
             return planes.reshape(*lead, n, h // 2, w // 2), lvl_sizes
         ll = {}
         subs = {}
@@ -567,7 +572,7 @@ class Transform2d:
 
             lead = stack.shape[:-3]
             planes = dtcwt_qshift_analysis_hp(
-                stack.reshape(-1, 4, h, w), interpret=mode)
+                stack.reshape(-1, 4, h, w), interpret=mode, fast=self.fast)
             return planes.reshape(*lead, 12, h // 2, w // 2), lvl_sizes
         planes, lvl_sizes = self.analysis_qshift(ll4)
         return planes[..., 4:, :, :], lvl_sizes
@@ -581,7 +586,7 @@ class Transform2d:
         if mode is not None:
             from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis
             return dtcwt_qshift_synthesis(
-                planes16.reshape(-1, 16, h, w), interpret=mode
+                planes16.reshape(-1, 16, h, w), interpret=mode, fast=self.fast
             ).reshape(*lead, 4, 2 * h, 2 * w)
         ll, subs = self._unpack_planes(planes16)
         outs = []
@@ -609,7 +614,7 @@ class Transform2d:
         if mode is not None:
             from ..kernels.dtcwt_synthesis import dtcwt_qshift_synthesis_ll
             return dtcwt_qshift_synthesis_ll(
-                ll4.reshape(-1, 4, h, w), interpret=mode
+                ll4.reshape(-1, 4, h, w), interpret=mode, fast=self.fast
             ).reshape(*lead, 4, 2 * h, 2 * w)
         outs = []
         for ci, (rt, ct) in enumerate(_TREES):
@@ -633,7 +638,7 @@ class Transform2d:
             from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis_hp
 
             return dtcwt_legall_synthesis_hp(
-                subs12.reshape(-1, 12, h, w), interpret=mode
+                subs12.reshape(-1, 12, h, w), interpret=mode, fast=self.fast
             ).reshape(*lead, 2 * h, 2 * w)
         zero_ll = jnp.zeros((*lead, 4, h, w), subs12.dtype)
         return self.inverse_raw(
@@ -648,7 +653,7 @@ class Transform2d:
         if mode is not None:
             from ..kernels.dtcwt_synthesis import dtcwt_legall_synthesis_ll
             return dtcwt_legall_synthesis_ll(
-                ll4.reshape(-1, 4, h, w), interpret=mode
+                ll4.reshape(-1, 4, h, w), interpret=mode, fast=self.fast
             ).reshape(*lead, 2 * h, 2 * w)
         out = 0.0
         for ci, (rt, ct) in enumerate(_TREES):

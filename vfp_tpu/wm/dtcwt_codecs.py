@@ -67,22 +67,30 @@ class _DtcwtBase:
     step: float = 5.0
     nlevels: int = 3
     normalize_masks: bool = False  # True for the img variant
+    # single-bf16-pass kernel matmuls (3-6x fewer MXU passes; ~2^-9 relative
+    # rounding on the tree coefficients — far below the quantized-mask and
+    # correlation-threshold noise these codecs decode through).  The codec is
+    # a static jit arg, so both modes compile and cache independently.
+    fast_dots: bool = False
 
     def wm_capacity(self, frame_shape):
         return infer_wm_shape(frame_shape)
+
+    def _t(self) -> Transform2d:
+        return Transform2d(fast=self.fast_dots)
 
     # -- watermark spectrum -------------------------------------------------
     def wm_highpass(self, wm: jnp.ndarray) -> jnp.ndarray:
         """Level-1 DT-CWT highpasses of the watermark plane [h, w] -> [h/2, w/2, 6]
         (reference: dtcwt_key_encoder.py:12-15)."""
-        t = Transform2d()
+        t = self._t()
         return t.forward(jnp.asarray(wm, jnp.float32), nlevels=1).highpasses[0]
 
     def _joint_forward(self, y: jnp.ndarray, u: jnp.ndarray):
         """One batched DT-CWT over [Y; U] (halves transform launches), split
         back into (y_hp2, u_pyramid)."""
         b = y.shape[0]
-        t = Transform2d()
+        t = self._t()
         both = t.forward(jnp.concatenate([y, u], axis=0), nlevels=self.nlevels)
         uc = Pyramid(lowpass=both.lowpass[b:],
                      highpasses=tuple(h[b:] for h in both.highpasses))
@@ -95,7 +103,7 @@ class _DtcwtBase:
         kernels' native packed-plane layout — no q2c/c2q or lowpass
         interleave glue on the frame-scale levels (measured ~half the
         codec's device time)."""
-        t = Transform2d()
+        t = self._t()
         planes, sizes = t.forward_raw(
             jnp.concatenate([y, u], axis=0), nlevels=self.nlevels)
         return t, planes, sizes
@@ -103,7 +111,7 @@ class _DtcwtBase:
     def _masks3(self, y: jnp.ndarray, shape3) -> jnp.ndarray:
         """[B, H, W] Y channel -> [B, h3, w3, 6] per-subband masks
         (reference: dtcwt_key_encoder.py:29-33, dtcwt_img_encoder.py:31-35)."""
-        t = Transform2d()
+        t = self._t()
         yc = t.forward(y, nlevels=self.nlevels)
         return self._masks3_from_hp2(yc.highpasses[1], shape3)
 
@@ -143,7 +151,7 @@ class _DtcwtBase:
         a full level 2 for the masks; level 3 exists only as grid geometry."""
         if self.nlevels != 3:
             return self._embed_channel_raw_generic(y, u, wm_hp)
-        t = Transform2d()
+        t = self._t()
         y_ll1, s0 = t.analysis_level1(y, lowpass_only=True)
         return u + self._embed_delta_from_ll1(y_ll1, wm_hp, s0)
 
@@ -152,7 +160,7 @@ class _DtcwtBase:
         """Y tree lowpasses [B, 4, h1, w1] -> pixel-space U delta [B, H, W]
         (cropped to ``s0``).  The Y level-2 analysis runs highpass-only:
         the mask path never reads its ll band."""
-        t = Transform2d()
+        t = self._t()
         y_hp2, s1 = t.analysis_qshift_hp(y_ll1)
         h2, w2 = y_hp2.shape[-2], y_hp2.shape[-1]
         # level-3 grid geometry (_pad_even rules), without running level 3
@@ -176,13 +184,13 @@ class _DtcwtBase:
         if self.nlevels != 3:
             return self._decode_channel_raw_generic(y, u)
         b = y.shape[0]
-        t = Transform2d()
+        t = self._t()
         ll1, _ = t.analysis_level1(jnp.concatenate([y, u], axis=0),
                                    lowpass_only=True)
         return self._decode_from_ll1(ll1[:b], ll1[b:])
 
     def _decode_from_ll1(self, y_ll1: jnp.ndarray, u_ll1: jnp.ndarray) -> jnp.ndarray:
-        t = Transform2d()
+        t = self._t()
         y_hp2, _ = t.analysis_qshift_hp(y_ll1)  # masks never read the ll band
         u_ll2, _ = t.analysis_qshift(u_ll1, lowpass_only=True)
         u_hp3, _ = t.analysis_qshift_hp(u_ll2)  # only the subband coeffs used
@@ -226,7 +234,7 @@ class _DtcwtBase:
 
     # -- channel-level embed/decode ------------------------------------------
     def _embed_channel(self, y: jnp.ndarray, u: jnp.ndarray, wm_hp: jnp.ndarray) -> jnp.ndarray:
-        t = Transform2d()
+        t = self._t()
         y_hp2, uc = self._joint_forward(y, u)
         h3 = uc.highpasses[self.nlevels - 1]
         masks = self._masks3_from_hp2(y_hp2, (h3.shape[-3], h3.shape[-2]))
@@ -244,7 +252,7 @@ class _DtcwtBase:
         return t.inverse(pyr)
 
     def _decode_channel(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-        t = Transform2d()
+        t = self._t()
         y_hp2, uc = self._joint_forward(y, u)
         h3 = uc.highpasses[self.nlevels - 1]
         masks = self._masks3_from_hp2(y_hp2, (h3.shape[-3], h3.shape[-2]),
@@ -286,7 +294,8 @@ class _DtcwtBase:
             if mode is not None:
                 from ..kernels.dtcwt_level1 import dtcwt_level1_analysis_ll_y
 
-                y_ll1 = dtcwt_level1_analysis_ll_y(frames, interpret=mode)
+                y_ll1 = dtcwt_level1_analysis_ll_y(frames, interpret=mode,
+                                                   fast=self.fast_dots)
                 du = self._embed_delta_from_ll1(y_ll1, wm_hp, (h, w))
                 marked = frames.astype(jnp.float32) + du[..., None] * jnp.asarray(
                     M_BWD[:, 1])
@@ -311,7 +320,8 @@ class _DtcwtBase:
             if mode is not None:
                 from ..kernels.dtcwt_level1 import dtcwt_level1_analysis_ll_color
 
-                ll1 = dtcwt_level1_analysis_ll_color(frames, interpret=mode)
+                ll1 = dtcwt_level1_analysis_ll_color(frames, interpret=mode,
+                                                     fast=self.fast_dots)
                 return self._decode_from_ll1(ll1[:, 0], ll1[:, 1])
         yuv = bgr_to_yuv(frames.astype(jnp.float32))
         return self._decode_channel_raw(yuv[..., 0], yuv[..., 1])
