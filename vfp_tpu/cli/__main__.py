@@ -29,6 +29,15 @@ def _payload_bits(s: str) -> np.ndarray:
     return np.array([int(c) for c in s])
 
 
+def _make_codec(args):
+    """Codec from --codec (+ --fast-dots for the DT-CWT family)."""
+    from ..utils import VfpConfig
+
+    cfg = VfpConfig()
+    cfg.codec.fast_dots = bool(getattr(args, "fast_dots", False))
+    return cfg.make_codec(args.codec)
+
+
 def _make_generator(codec_name: str, key: int, generator: str = "auto",
                     threshold: str = "fixed"):
     """Generator/degenerator pair valid for a codec (reference pairings:
@@ -61,7 +70,7 @@ def cmd_mark(args):
     from ..pipeline import Embedder, FrameMarker
     from ..utils import VfpConfig
 
-    codec = VfpConfig().make_codec(args.codec)
+    codec = _make_codec(args)
     generator, _ = _make_generator(args.codec, args.key, getattr(args, "generator", "auto"))
     if args.wm_image:
         import cv2
@@ -96,7 +105,7 @@ def cmd_detect(args):
     from ..utils import VfpConfig
     from ..wm import DeCorrShuffler
 
-    codec = VfpConfig().make_codec(args.codec)
+    codec = _make_codec(args)
     _, deg = _make_generator(args.codec, args.key,
                              threshold=getattr(args, "threshold", "fixed"))
     from ..wm import DeBlockShuffler
@@ -171,7 +180,7 @@ def cmd_test_frame(args):
     from ..utils import VfpConfig
     from ..wm import DeCorrShuffler
 
-    codec = VfpConfig().make_codec(args.codec)
+    codec = _make_codec(args)
     generator, deg = _make_generator(args.codec, args.key, getattr(args, "generator", "auto"))
     frame = cv2.imread(args.image, cv2.IMREAD_COLOR)
     if frame is None:
@@ -336,6 +345,11 @@ def main(argv=None):
         level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s  %(message)s"
     )
     p = argparse.ArgumentParser(prog="vfp_tpu", description=__doc__)
+    p.add_argument("--platform", default="default",
+                   choices=["default", "cpu", "tpu"],
+                   help="JAX backend override (this container pins a TPU "
+                        "relay via sitecustomize; 'cpu' runs everything "
+                        "on the host — the env var alone is ignored)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     codecs = ["dwtDctSvd", "dct", "dtcwtKey", "dtcwtImg"]
@@ -343,6 +357,9 @@ def main(argv=None):
     m = sub.add_parser("mark", help="embed a payload into every frame")
     m.add_argument("input"), m.add_argument("output")
     m.add_argument("--codec", choices=codecs, default="dwtDctSvd")
+    m.add_argument("--fast-dots", action="store_true",
+                   help="DT-CWT codecs: single-bf16-pass kernel matmuls "
+                        "(faster, decision-equivalent)")
     m.add_argument("--payload", default="01100101")
     m.add_argument("--wm-image", default=None, help="grayscale watermark image payload")
     m.add_argument("--generator", choices=["auto", "shuffler", "grayscale"], default="auto")
@@ -356,6 +373,9 @@ def main(argv=None):
     d = sub.add_parser("detect", help="extract per-frame payloads")
     d.add_argument("input")
     d.add_argument("--codec", choices=codecs, default="dwtDctSvd")
+    d.add_argument("--fast-dots", action="store_true",
+                   help="DT-CWT codecs: single-bf16-pass kernel matmuls "
+                        "(faster, decision-equivalent)")
     d.add_argument("--payload-len", type=int, default=8)
     d.add_argument("--payload", default=None,
                    help="expected payload bits; sets --payload-len and prints match")
@@ -371,6 +391,9 @@ def main(argv=None):
     tf.add_argument("image")
     tf.add_argument("out_dir")
     tf.add_argument("--codec", choices=codecs, default="dwtDctSvd")
+    tf.add_argument("--fast-dots", action="store_true",
+                   help="DT-CWT codecs: single-bf16-pass kernel matmuls "
+                        "(faster, decision-equivalent)")
     tf.add_argument("--payload", default="01100101")
     tf.add_argument("--wm-image", default=None)
     tf.add_argument("--generator", choices=["auto", "shuffler", "grayscale"], default="auto")
@@ -431,6 +454,10 @@ def main(argv=None):
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
+    if args.platform != "default":
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     args.fn(args)
 
 

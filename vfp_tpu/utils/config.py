@@ -25,6 +25,9 @@ class CodecConfig:
     alpha_key: float = 10.0
     alpha_img: float = 1.5
     step: float = 5.0
+    # single-bf16-pass DT-CWT kernel matmuls (3-6x fewer MXU passes;
+    # decision-equivalent for these thresholded-correlation codecs)
+    fast_dots: bool = False
 
 
 @dataclass
@@ -81,7 +84,9 @@ class VfpConfig:
         if name in ("dct", "dctqim", "dct_qim"):
             return DctQim(alpha=c.alpha_dct)
         if name in ("dtcwtkey", "dtcwt_key"):
-            return DtcwtKey(alpha=c.alpha_key, step=c.step)
+            return DtcwtKey(alpha=c.alpha_key, step=c.step,
+                            fast_dots=c.fast_dots)
         if name in ("dtcwtimg", "dtcwt_img"):
-            return DtcwtImg(alpha=c.alpha_img, step=c.step)
+            return DtcwtImg(alpha=c.alpha_img, step=c.step,
+                            fast_dots=c.fast_dots)
         raise ValueError(f"unknown codec: {name}")
