@@ -295,3 +295,33 @@ class TestShardedDctQim:
             bits = np.asarray(codec.extract_frames(jnp.asarray(out[v])))
             wantb = np.asarray(codec.extract_frames(jnp.asarray(want)))
             np.testing.assert_array_equal(bits, wantb)
+
+
+class TestShardedDtcwt:
+    def test_dtcwt_mark_matches_single_device(self, mesh42, rng):
+        """DP + variant sharding is codec-generic: the DT-CWT spread-spectrum
+        codec runs unchanged under sharded_mark_step (each device marks its
+        frame shard with its variant's keyed plane; zero collectives)."""
+        from vfp_tpu.wm.dtcwt_codecs import DtcwtKey
+        from vfp_tpu.wm.payload_img import CorrShuffler, DeCorrShuffler
+
+        codec = DtcwtKey()
+        frames = natural_frames(rng, b=8, h=64, w=96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = np.stack(
+            [np.asarray(CorrShuffler(key=k).generate_wm(None, cap),
+                        np.float32).reshape(-1) for k in (3, 9)]
+        )
+        step = sharded_mark_step(mesh42, codec)
+        out = np.asarray(step(jnp.asarray(frames), jnp.asarray(wms)))
+        assert out.shape == (2, 8, 64, 96, 3)
+        for v in range(2):
+            want = np.asarray(
+                codec.mark_frames(jnp.asarray(frames), jnp.asarray(wms[v])))
+            np.testing.assert_array_equal(out[v], want)
+        # the sharded output detects under its key (wrong-key rejection is
+        # covered at realistic sizes in test_dtcwt.py — the tiny capacity
+        # plane here can exceed the 0.1 bar by chance under a wrong key)
+        rec = np.asarray(codec.extract_frames(jnp.asarray(out[0])))
+        assert all(bool(DeCorrShuffler(key=3).degenerate(rec[i]))
+                   for i in range(len(rec)))
