@@ -40,6 +40,14 @@ from vfp_tpu.ops.color import M_BWD, M_FWD, OFF_BWD, OFF_FWD
 # "full" runs first as calibration (it is the production kernel verbatim);
 # the peeled stages then attribute the cumulative time
 STAGES = ["full", "cast", "color", "llr_select", "triplet", "qim", "scatter"]
+# side probes (not part of the cumulative chain):
+#   unpack — u8->i32 load + i32->u8 emit, NO f32 anywhere: isolates the
+#            pack/unpack share of the "cast" stage (cast - unpack = the
+#            i32<->f32 converts + round/clip)
+#   intmac — unpack + fixed-point i32 color MAC (round(M_FWD * 2^14)):
+#            vs "color" tells whether an integer-domain lincomb could beat
+#            3x i32->f32 convert + f32 MAC (the integer-epilogue candidate)
+SIDE_PROBES = ["unpack", "intmac"]
 
 
 def _dep_i32(val):
@@ -59,6 +67,15 @@ def _to_u8(planes_f32, dep=None):
 def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
     stage, chan, scale, nbh, nbw_real, chunk = static
     j = pl.program_id(1)
+    if stage in ("unpack", "intmac"):
+        xi = x_ref[0].astype(jnp.int32)  # [3, STRIP, W], values <= 255
+        dep = (jnp.sum(xi[0, :1, :1]) > jnp.int32(2**31 - 2)).astype(jnp.int32)
+        if stage == "intmac":
+            mi = [int(round(float(M_FWD[chan, i]) * (1 << 14))) for i in range(3)]
+            cpi = mi[0] * xi[0] + mi[1] * xi[1] + mi[2] * xi[2]
+            dep = dep + (jnp.sum(cpi[:1, :1]) > jnp.int32(2**31 - 2)).astype(jnp.int32)
+        o_ref[0] = (xi + dep).astype(jnp.uint8)
+        return
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
     w = x.shape[-1]
     n_chunks = w // chunk
@@ -200,7 +217,7 @@ def main():
     # second stalls) — the (n2 - n1) slope of min-of-3 trials cancels it.
     n1, n2 = args.iters // 4, args.iters // 4 + args.iters
     results = {}
-    for stage in STAGES:
+    for stage in STAGES + SIDE_PROBES:
         int(loop(planes, wm2d, stage, 2))  # compile + warm
         times = {}
         for n in (n1, n2):
@@ -221,6 +238,11 @@ def main():
         print(f"{stage:>10}: +{results[stage] - prev:7.1f}")
         prev = results[stage]
     print(f"{'epilogue':>10}: +{results['full'] - prev:7.1f}  (color-back + cast)")
+    print("\nside probes (us/frame):")
+    print(f"{'unpack':>10}: {results['unpack']:8.1f}  "
+          f"(cast - unpack = {results['cast'] - results['unpack']:.1f} of f32 converts)")
+    print(f"{'intmac':>10}: {results['intmac']:8.1f}  "
+          f"(vs color {results['color']:.1f}: integer MAC replaces converts + f32 MAC)")
     print(json.dumps(results))
 
 
