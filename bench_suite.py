@@ -282,6 +282,40 @@ def bench_embed_8k(quick):
             "gigapixels_per_sec": round(fps * 4320 * 7680 / 1e9, 2)}
 
 
+def bench_extract_8k(quick):
+    """Config 2j: pure-chip 8K (4320x7680) flagship extract — completes the
+    pixel-rate scaling table (embed @8K is config 2h)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vfp_tpu.wm import DwtDctSvd
+
+    codec = DwtDctSvd()
+    rng = np.random.RandomState(0)
+    b = 1 if quick else 2
+    frames = jnp.asarray(natural_frames(rng, b, 4320, 7680))
+
+    @partial(jax.jit, static_argnums=1)
+    def loop(x, n):
+        def body(i, x):
+            bits = codec.extract_frames(x)  # u8 carry — see extract_1080p note
+            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
+
+        return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
+
+    iters = 2 if quick else 32
+    int(loop(frames, iters))
+    t0 = time.perf_counter()
+    int(loop(frames, iters))
+    dt = time.perf_counter() - t0
+    fps = b * iters / dt
+    return {"batch": b, "extract_fps_chip": round(fps, 1),
+            "gigapixels_per_sec": round(fps * 4320 * 7680 / 1e9, 2)}
+
+
 def bench_extract_4k(quick):
     """Config 2i: pure-chip 4K flagship extract (the leak-trace scaling story
     rides extract throughput; embed @4K is config 2e)."""
@@ -721,6 +755,7 @@ def main():
         ("embed_4k_chip", bench_embed_4k),
         ("extract_4k_chip", bench_extract_4k),
         ("embed_8k_chip", bench_embed_8k),
+        ("extract_8k_chip", bench_extract_8k),
         ("dctqim_1080p_chip", bench_dctqim_1080p),
         ("dtcwt_1080p_chip", bench_dtcwt_1080p),
         ("dtcwtimg_1080p_chip", bench_dtcwtimg_1080p),
