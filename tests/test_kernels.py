@@ -360,3 +360,52 @@ class TestDtcwtKernels:
         t = Transform2d(backend="pallas")
         rec = t.inverse(t.forward(x, nlevels=3))
         np.testing.assert_allclose(np.asarray(rec), np.asarray(x), atol=1e-2)
+
+
+class TestIntPath:
+    """int_path=True: integer color MAC (2^14 fixed point, exact f32 cast)
+    + integer epilogue (2^20 combined fixed point).  The only full-res f32
+    tensors left are cp and du — the cast-chain reduction candidate from the
+    per-op profile.  Decode decisions must be identical; marked pixels may
+    differ from the f32 path only in the documented borderline classes
+    (.5-rounding ties, parity-equivalent QIM bins)."""
+
+    def test_mark_extract_match_f32_path(self, rng):
+        from vfp_tpu.kernels.fused_embed import (fused_extract_planar,
+                                                 fused_mark_planar)
+        from vfp_tpu.fingerprint import payload_for_segment
+        from vfp_tpu.wm import DeShuffler, DwtDctSvd, Shuffler
+        from test_dwt_dct_svd import natural_frames
+
+        codec = DwtDctSvd()
+        h, w = 78, 128  # h tail rows exercise the bit-exact passthrough
+        frames = natural_frames(rng, 2, h, w)
+        cap = codec.wm_capacity((h, w, 3))
+        payload = payload_for_segment(1, 2)
+        wm = np.asarray(Shuffler(key=0).generate_wm(payload, cap)).reshape(-1)
+        nbh, nbw = (h // 4 * 4 // 2) // 4, (w // 4 * 4) // 8
+        planes = jnp.asarray(frames.transpose(0, 3, 1, 2))
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        f32 = np.asarray(fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True))
+        ip = np.asarray(fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True,
+                                          int_path=True))
+        assert (f32 == ip).mean() > 0.98
+        # du == 0 tail rows: bit-exact vs the XLA path
+        want = np.asarray(
+            codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        got = ip.transpose(0, 2, 3, 1)
+        np.testing.assert_array_equal(got[:, 8 * nbh :], want[:, 8 * nbh :])
+        # all three extract paths agree bit-for-bit on int-marked frames
+        bits = np.asarray(
+            fused_extract_planar(jnp.asarray(ip), 15.0, 1, interpret=True,
+                                 int_path=True))
+        bits_f = np.asarray(
+            fused_extract_planar(jnp.asarray(ip), 15.0, 1, interpret=True))
+        np.testing.assert_array_equal(bits, bits_f)
+        xla = np.asarray(codec.extract_frames(jnp.asarray(got)))[:, : nbh * nbw]
+        np.testing.assert_array_equal(xla.reshape(2, nbh, nbw), bits)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(payload.shape)
+        flat = np.zeros((2, int(np.prod(cap))), np.float32)
+        flat[:, : nbh * nbw] = bits.reshape(2, -1)
+        for p in np.asarray(deg.degenerate_batch(jnp.asarray(flat))):
+            np.testing.assert_array_equal(p, payload)

@@ -109,20 +109,46 @@ def _consts(chunk: int):
     return s, st, r1, np.ascontiguousarray(0.5 * r1.T)
 
 
+_MAC_SH = 14  # fixed-point shift for the integer color MAC: |sum| < 2^24,
+# so the single i32->f32 cast of cp is EXACT; constant rounding error is
+# <= 255 * 1.5 / 2^14 = 0.023 pixel-units -> s0 shift <= ~0.2, 5% of the
+# QIM margin (scale/4 = 3.75) — decode decisions unchanged
+_EPI_SH = 10  # epilogue fixed point: du and M_BWD each at 2^10, combined
+# 2^20; |x<<20 + duq*mki| < 2^31; quantization <= ~0.015 pixel vs the f32
+# path, inside the documented borderline-.5 deviation class
+
+
+def _int_mac(xi, chan):
+    """[3, STRIP, W] i32 -> EXACT-castable i32 color lincomb at 2^_MAC_SH."""
+    mi = [int(round(float(M_FWD[chan, i]) * (1 << _MAC_SH))) for i in range(3)]
+    return mi[0] * xi[0] + mi[1] * xi[1] + mi[2] * xi[2]
+
+
 def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
-    chan, scale, nbh, nbw_real, chunk = static
+    chan, scale, nbh, nbw_real, chunk, int_path = static
     j = pl.program_id(1)
-    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
-    w = x.shape[-1]
+    if int_path:
+        # integer-domain input: the only full-res f32 tensors in the whole
+        # kernel become cp and du (vs 3 input planes + 2 epilogue
+        # intermediates on the f32 path) — attacks the u8<->i32<->f32 cast
+        # chain the per-op profile put at 47% of the kernel
+        xi = x_ref[0].astype(jnp.int32)  # [3, STRIP, W]
+        cp = _int_mac(xi, chan).astype(jnp.float32)
+        w = cp.shape[-1]
+    else:
+        x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
+        w = x.shape[-1]
+        # the +0.5 chroma offset rides past the pair-sum matmul: r1 sums two
+        # rows, so cp + 0.5 -> llr + 1.0 (exact), saving a full-res [STRIP, W]
+        # add; the Haar 0.5 lives in the s constants (see _consts)
+        cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
     n_chunks = w // chunk
     nb = chunk // 8
     nbw = w // 8
 
-    # the +0.5 chroma offset rides past the pair-sum matmul: r1 sums two
-    # rows, so cp + 0.5 -> llr + 1.0 (exact), saving a full-res [STRIP, W]
-    # add; the Haar 0.5 lives in the s constants (see _consts)
-    cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
     llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # [32, W], row r*NBR+br
+    if int_path:
+        llr = llr * (1.0 / (1 << _MAC_SH))  # [32, W]: 1/6 the full-res work
     off2 = 2.0 * float(OFF_FWD[chan])
     if off2:
         llr = llr + off2
@@ -177,20 +203,39 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
     # of a .5 boundary may differ by +-1 (decode-identical — same class as
     # the borderline-QIM-bin note below); du == 0 regions are BIT-EXACT
     # passthrough, stronger than the roundtrip.
-    for k in range(3):
-        mk = float(M_BWD[k, chan])
-        if mk == 0.0:
-            o_ref[0, k] = x_ref[0, k]
-        else:
-            o_ref[0, k] = (
-                jnp.round(jnp.clip(x[k] + mk * du, 0.0, 255.0))
-                .astype(jnp.int32).astype(jnp.uint8)
-            )
+    if int_path:
+        # integer epilogue: one f32->i32 cast of du, then pure-i32 per
+        # channel: (x << 2S + duq * mki + half) >> 2S, clip, narrow.
+        # Round-half-up on exact 2^-2S ties vs the f32 path's half-even —
+        # same borderline-.5 class; du == 0 stays BIT-EXACT (duq == 0 and
+        # the +half cannot carry out of the shift)
+        duq = jnp.round(du * float(1 << _EPI_SH)).astype(jnp.int32)
+        half = jnp.int32(1 << (2 * _EPI_SH - 1))
+        for k in range(3):
+            mk = float(M_BWD[k, chan])
+            if mk == 0.0:
+                o_ref[0, k] = x_ref[0, k]
+            else:
+                mki = jnp.int32(int(round(mk * (1 << _EPI_SH))))
+                v = (xi[k] << (2 * _EPI_SH)) + duq * mki + half
+                o_ref[0, k] = jnp.clip(
+                    v >> (2 * _EPI_SH), 0, 255).astype(jnp.uint8)
+    else:
+        for k in range(3):
+            mk = float(M_BWD[k, chan])
+            if mk == 0.0:
+                o_ref[0, k] = x_ref[0, k]
+            else:
+                o_ref[0, k] = (
+                    jnp.round(jnp.clip(x[k] + mk * du, 0.0, 255.0))
+                    .astype(jnp.int32).astype(jnp.uint8)
+                )
 
 
-@partial(jax.jit, static_argnames=("chan", "scale", "interpret"))
+@partial(jax.jit, static_argnames=("chan", "scale", "interpret", "int_path"))
 def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.0,
-                      chan: int = 1, interpret: bool = False):
+                      chan: int = 1, interpret: bool = False,
+                      int_path: bool = False):
     """u8 planes [B, 3, H, W] + watermark grid [nbh, nbw] -> marked planes.
 
     wm2d is the first nbh*nbw entries of the flat watermark plane reshaped
@@ -220,7 +265,7 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
     s, st, r1, r1t = _consts(chunk)
     grid = (b, strips)
     out = pl.pallas_call(
-        partial(_kernel, (chan, float(scale), nbh, nbw_real, chunk)),
+        partial(_kernel, (chan, float(scale), nbh, nbw_real, chunk, int_path)),
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
         grid=grid,
         in_specs=[
@@ -243,15 +288,20 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
 
 
 def _decode_kernel(static, x_ref, s_ref, r1_ref, o_ref):
-    chan, scale, chunk = static
-    x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
-    w = x.shape[-1]
+    chan, scale, chunk, int_path = static
+    if int_path:
+        cp = _int_mac(x_ref[0].astype(jnp.int32), chan).astype(jnp.float32)
+    else:
+        x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
+        # same constant folds as the mark kernel: Haar 0.5 in s, +0.5 chroma
+        # offset applied as +1.0 after the pair-sum matmul
+        cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
+    w = cp.shape[-1]
     n_chunks = w // chunk
 
-    # same constant folds as the mark kernel: Haar 0.5 in s, +0.5 chroma
-    # offset applied as +1.0 after the pair-sum matmul
-    cp = M_FWD[chan, 0] * x[0] + M_FWD[chan, 1] * x[1] + M_FWD[chan, 2] * x[2]
     llr = jnp.dot(r1_ref[:], cp, preferred_element_type=jnp.float32)  # row r*NBR+br
+    if int_path:
+        llr = llr * (1.0 / (1 << _MAC_SH))
     off2 = 2.0 * float(OFF_FWD[chan])
     if off2:
         llr = llr + off2
@@ -270,9 +320,9 @@ def _decode_kernel(static, x_ref, s_ref, r1_ref, o_ref):
     o_ref[0, 0] = (jnp.mod(s0, scale) > scale * 0.5).astype(jnp.float32)  # [NBR, nbw]
 
 
-@partial(jax.jit, static_argnames=("chan", "scale", "interpret"))
+@partial(jax.jit, static_argnames=("chan", "scale", "interpret", "int_path"))
 def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1,
-                         interpret: bool = False):
+                         interpret: bool = False, int_path: bool = False):
     """u8 planes [B, 3, H, W] -> decoded bits [B, nbh, nbw] in one launch."""
     b, _, h, w = planes.shape
     h4, w4 = h // 4 * 4, w // 4 * 4
@@ -289,7 +339,7 @@ def fused_extract_planar(planes: jnp.ndarray, scale: float = 15.0, chan: int = 1
     strips = pl.cdiv(h, STRIP)
     s, st, r1, r1t = _consts(chunk)
     out = pl.pallas_call(
-        partial(_decode_kernel, (chan, float(scale), chunk)),
+        partial(_decode_kernel, (chan, float(scale), chunk, int_path)),
         out_shape=jax.ShapeDtypeStruct((b, strips, NBR, nbw), jnp.float32),
         grid=(b, strips),
         in_specs=[
