@@ -189,7 +189,10 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
         ]
         contrib = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1)
         dllrows = contrib if dllrows is None else dllrows + contrib  # [STRIP/2, W]
-    du = jnp.dot(r1t_ref[:], dllrows, preferred_element_type=jnp.float32)
+    # int path: fold the epilogue's 2^_EPI_SH into the TINY r1t operand
+    # ([STRIP, STRIP/2]) so du arrives pre-scaled — no full-res multiply
+    r1t = r1t_ref[:] * float(1 << _EPI_SH) if int_path else r1t_ref[:]
+    du = jnp.dot(r1t, dllrows, preferred_element_type=jnp.float32)
 
     # Delta-identity epilogue: the BGR->YUV->BGR roundtrip is affine, so
     # marked = roundtrip(x) + du * M_BWD[:, chan]; for integer pixels
@@ -209,7 +212,7 @@ def _kernel(static, x_ref, wm_ref, s_ref, st_ref, r1_ref, r1t_ref, o_ref):
         # Round-half-up on exact 2^-2S ties vs the f32 path's half-even —
         # same borderline-.5 class; du == 0 stays BIT-EXACT (duq == 0 and
         # the +half cannot carry out of the shift)
-        duq = jnp.round(du * float(1 << _EPI_SH)).astype(jnp.int32)
+        duq = jnp.round(du).astype(jnp.int32)  # du pre-scaled by 2^_EPI_SH
         half = jnp.int32(1 << (2 * _EPI_SH - 1))
         for k in range(3):
             mk = float(M_BWD[k, chan])
