@@ -797,7 +797,12 @@ def main():
             report[name] = runs[len(runs) // 2]  # median by headline fps
             if reps > 1:
                 report[name]["runs_fps"] = [r[fps_key] for r in runs]
-            report[name]["wall_seconds"] = round(time.perf_counter() - t0, 2)
+                # keep the median run's own wall_seconds intact; the total
+                # across reps goes under its own key
+                report[name]["repeat_total_seconds"] = round(
+                    time.perf_counter() - t0, 2)
+            else:
+                report[name]["wall_seconds"] = round(time.perf_counter() - t0, 2)
         except Exception as e:  # pragma: no cover
             report[name] = {"error": str(e)}
         print(f"{name}: {json.dumps(report[name])}", flush=True)

@@ -177,6 +177,41 @@ class TestEndToEnd:
             np.testing.assert_array_equal(pattern, want)
             assert freq == 1.0
 
+    def test_segment_majorities_tolerates_corrupt_rawv(self, tmp_path, rng):
+        """Corrupt .rawv segments (truncated header, zero dims, empty body)
+        must surface as IOError inside _read_all so the pipelined verify /
+        trace yields (None, 0.0) for that file instead of crashing the run."""
+        import jax.numpy as jnp
+
+        from vfp_tpu.fingerprint.marker import _read_all, segment_majorities
+        from vfp_tpu.io import RawVideoWriter
+        from vfp_tpu.io.readers import RAWV_MAGIC
+        from vfp_tpu.wm import DwtDctSvd, Shuffler
+        import pytest
+        import struct
+
+        bad_trunc = tmp_path / "trunc.rawv"
+        bad_trunc.write_bytes(RAWV_MAGIC + b"\x00\x01")  # <24-byte header
+        bad_dims = tmp_path / "dims.rawv"
+        bad_dims.write_bytes(RAWV_MAGIC + struct.pack("<IIII", 0, 0, 6, 1))
+        for bad in (bad_trunc, bad_dims):
+            with pytest.raises(IOError):
+                _read_all(bad)
+
+        codec = DwtDctSvd()
+        payload = payload_for_segment(0, 0)
+        wm = Shuffler(key=0).generate_wm(payload, codec.wm_capacity((64, 96, 3)))
+        frames = np.clip(rng.rand(4, 64, 96, 3) * 220 + 20, 0, 255).astype(np.uint8)
+        marked = np.asarray(codec.mark_frames(
+            jnp.asarray(frames), jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)))
+        good = tmp_path / "good.rawv"
+        with RawVideoWriter(good, 96, 64, fps=6) as wtr:
+            wtr.write_batch(marked)
+        got = segment_majorities([str(bad_trunc), str(good), str(bad_dims)],
+                                 8, codec=codec, batch_size=8)
+        assert got[0] == (None, 0.0) and got[2] == (None, 0.0)
+        np.testing.assert_array_equal(got[1][0], payload)
+
     def test_hls_playlists(self, marked_tree):
         base, segs, marked, payloads, copies = marked_tree
         master, playlist, seg_map, variants = write_hls_playlists(

@@ -297,8 +297,11 @@ class TestShardedDctQim:
             np.testing.assert_array_equal(bits, wantb)
 
 
-class TestShardedDtcwt:
-    def test_dtcwt_mark_matches_single_device(self, mesh42, rng):
+class TestShardedDtcwtKeyedDetect:
+    """Distinct from TestShardedDtcwt above: natural frames + CorrShuffler
+    keyed planes, exact-equality parity, and end-to-end keyed detection."""
+
+    def test_dtcwt_keyed_mark_detect_sharded(self, mesh42, rng):
         """DP + variant sharding is codec-generic: the DT-CWT spread-spectrum
         codec runs unchanged under sharded_mark_step (each device marks its
         frame shard with its variant's keyed plane; zero collectives)."""

@@ -321,11 +321,12 @@ def cmd_durability(args):
         if name == "dct":
             from ..wm import DctQim
 
-            codec = DctQim(alpha=alpha) if alpha else DctQim()
+            codec = DctQim(alpha=alpha) if alpha is not None else DctQim()
         else:
             from ..wm import DwtDctSvd
 
-            codec = DwtDctSvd(scales=(0.0, alpha, 0.0)) if alpha else DwtDctSvd()
+            codec = (DwtDctSvd(scales=(0.0, alpha, 0.0))
+                     if alpha is not None else DwtDctSvd())
         report = run_durability(
             args.input, args.output_dir, segment_duration=args.segment_duration,
             quality=args.quality, key=args.key, codec=codec, container=container,
@@ -346,10 +347,11 @@ def main(argv=None):
     )
     p = argparse.ArgumentParser(prog="vfp_tpu", description=__doc__)
     p.add_argument("--platform", default="default",
-                   choices=["default", "cpu", "tpu"],
-                   help="JAX backend override (this container pins a TPU "
-                        "relay via sitecustomize; 'cpu' runs everything "
-                        "on the host — the env var alone is ignored)")
+                   help="JAX backend override, passed to jax_platforms "
+                        "verbatim ('cpu', 'tpu', or a comma list; this "
+                        "container registers its TPU relay as 'axon' and "
+                        "pins it via sitecustomize — the env var alone is "
+                        "ignored, so use this flag to force 'cpu')")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     codecs = ["dwtDctSvd", "dct", "dtcwtKey", "dtcwtImg"]

@@ -47,7 +47,14 @@ def _read_all(file):
         with open(file, "rb") as f:
             head = f.read(24)
             if head[:8] == RAWV_MAGIC:
+                # corrupt headers (truncated, zero dims) must surface as
+                # IOError: the pipelined verify/trace callers tolerate
+                # per-file IOError as (None, 0.0), not struct.error
+                if len(head) < 24:
+                    raise IOError(f"truncated rawv header: {file}")
                 w, h, fps_num, fps_den = struct.unpack("<IIII", head[8:])
+                if h == 0 or w == 0:
+                    raise IOError(f"invalid rawv dims {w}x{h}: {file}")
                 data = np.fromfile(f, np.uint8)
                 n = data.size // (h * w * 3)
                 if n == 0:
@@ -200,7 +207,10 @@ def mark_segments(
     wt = threading.Thread(target=_writer_loop, daemon=True)
     wt.start()
 
-    mms: list = []
+    # per-marker stage_seconds dicts (tiny) — NOT the markers themselves:
+    # retaining every segment's MultiMarker (watermark stacks + bit-mask
+    # caches) would grow without bound in segment count
+    mm_stages: list = []
     packers: dict = {}  # (h, w) -> PackedTwoPlane shared across segments
 
     def _packer(h, w, n_variants):
@@ -245,7 +255,8 @@ def mark_segments(
                 )
                 for c in todo
             }
-            mms.append(mm)
+            if mm._ll is not None:
+                mm_stages.append(mm._ll.stage_seconds)
             # free-running submits: the device + link work ahead of the
             # writer thread's fetch/encode by the queue depth, including
             # across segment boundaries (no per-segment drain)
@@ -279,10 +290,9 @@ def mark_segments(
     wq.put(None)
     wt.join()
     pool.shutdown(wait=False)
-    for mm in mms:  # summed after join: the writer thread owned the collects
-        if mm._ll is not None:
-            for sk, sv in mm._ll.stage_seconds.items():
-                ss[sk] += sv
+    for sd in mm_stages:  # summed after join: the writer thread owned the collects
+        for sk, sv in sd.items():
+            ss[sk] += sv
     for p in packers.values():  # shared dispatch/fetch seconds live here
         for sk, sv in p.stage_seconds.items():
             ss[sk] += sv

@@ -19,21 +19,43 @@ def have_native() -> bool:
     return shutil.which("g++") is not None or (_BUILD / "libvfpio.so").exists()
 
 
+_LOAD_ERROR: list = []  # lru_cache does not cache exceptions; a failed
+# build/load must not re-spawn g++ on every hot-path call (host_ll /
+# reconstruct fall back per call), so remember the first failure here
+
+
 @lru_cache(maxsize=1)
 def load_vfpio():
     """Build (if needed) and load libvfpio; returns configured ctypes CDLL.
 
     Raises RuntimeError when no compiler and no prebuilt library exist.
+    Failures are sticky: the first error is re-raised on later calls
+    without retrying the compile.
     """
+    if _LOAD_ERROR:
+        raise _LOAD_ERROR[0]
+    try:
+        return _load_vfpio_uncached()
+    except Exception as e:
+        _LOAD_ERROR.append(RuntimeError(f"vfpio build/load failed: {e}"))
+        raise _LOAD_ERROR[0] from e
+
+
+def _load_vfpio_uncached():
     so = _BUILD / "libvfpio.so"
     if not so.exists() or so.stat().st_mtime < _SRC.stat().st_mtime:
         if shutil.which("g++") is None:
             raise RuntimeError("no g++ and no prebuilt libvfpio.so")
         _BUILD.mkdir(exist_ok=True)
-        # -mf16c/-mavx2: _Float16 (host-LL f16 output) needs F16C on x86;
+        # -mf16c/-mavx2 (x86 only): _Float16 (host-LL f16 output) needs F16C;
         # -ffp-contract=off: no FMA fusion, so float association matches the
         # NumPy/cv2 reference paths as closely as the source order implies
-        cmd = ["g++", "-O3", "-mf16c", "-mavx2", "-ffp-contract=off",
+        import platform
+
+        arch_flags = (["-mf16c", "-mavx2"]
+                      if platform.machine() in ("x86_64", "AMD64", "i686")
+                      else [])
+        cmd = ["g++", "-O3", *arch_flags, "-ffp-contract=off",
                "-shared", "-fPIC", "-std=c++17", "-pthread",
                str(_SRC), "-o", str(so)]
         logger.info("building vfpio: %s", " ".join(cmd))
