@@ -88,6 +88,46 @@ class TestResume:
             assert f.stat().st_mtime_ns == mtimes[f.name], f  # untouched
 
 
+class TestLeakTraceCliFlags:
+    def test_trace_copies_file_relocation_and_clean(self, tmp_path, capsys,
+                                                    monkeypatch):
+        """Reference flag parity: --copies-file relocates a relative
+        'detection' output dir next to the manifest
+        (reference: tests/detect_watermarks.py:286-292) and --clean wipes a
+        stale output dir; --serve without --create-hls refuses politely."""
+        from vfp_tpu.io import RawVideoWriter
+
+        rng = np.random.RandomState(33)
+        src = tmp_path / "src.rawv"
+        with RawVideoWriter(src, 96, 64, fps=6) as w:
+            w.write_batch(natural_frames(rng, b=8, h=64, w=96))
+        base = tmp_path / "out"
+        main(["hls-mark", str(src), str(base), "--copies", "2",
+              "--segment-duration", "1", "--batch-size", "8"])
+        main(["leak", str(base / "segment_copies.json"), "--pattern", "01"])
+        capsys.readouterr()
+
+        # --serve without --create-hls: no bundle to serve
+        main(["leak", str(base / "segment_copies.json"), "--pattern", "01",
+              "--serve"])
+        assert "--serve requires --create-hls" in capsys.readouterr().out
+
+        reloc = base / "detection"
+        stale = reloc / "stale.txt"
+        reloc.mkdir()
+        stale.write_text("old run")
+        monkeypatch.chdir(tmp_path)  # 'detection' is relative on purpose
+        main(["trace", str(base / "leaked_video.avi"), "detection",
+              "--payload-file", str(base / "segment_payloads.json"),
+              "--copies-file", str(base / "segment_copies.json"),
+              "--clean", "--segment-duration", "1"])
+        out = capsys.readouterr().out
+        assert "Copy fingerprint: 01" in out
+        assert not (tmp_path / "detection").exists()  # relocated, not cwd
+        assert not stale.exists()  # --clean removed the stale dir first
+        assert (reloc / "detection_results.json").exists()
+
+
 class TestImageDetectCli:
     def test_dtcwt_img_mark_detect_images(self, tmp_path, capsys):
         """mark with an image watermark, detect writes recovered images."""

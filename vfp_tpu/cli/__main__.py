@@ -282,16 +282,62 @@ def cmd_leak(args):
         ns = argparse.Namespace(
             input=str(leaked), output_dir=str(base / "detection"),
             payload_file=str(base / "segment_payloads.json"),
+            copies_file=None, clean=False,
             segment_duration=args.segment_duration, max_copies=10, key=0,
         )
         cmd_trace(ns)
+    if args.serve:
+        # reference behavior: after --create-hls, serve the playback bundle
+        # over HTTP with CORS headers (reference: tests/generate_leak.py:577-611
+        # runs the generated cors_server.py from the HLS dir)
+        if "custom_hls_playlist" not in info:
+            print("--serve requires --create-hls (no HLS bundle was created)")
+            return
+        import functools
+        from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+        hls_dir = Path(args.copies_file).parent / "hls"
+
+        class _CorsHandler(SimpleHTTPRequestHandler):
+            def end_headers(self):
+                self.send_header("Access-Control-Allow-Origin", "*")
+                self.send_header("Access-Control-Allow-Methods", "GET, OPTIONS")
+                self.send_header("Access-Control-Allow-Headers", "Content-Type")
+                self.send_header("Cache-Control",
+                                 "no-store, no-cache, must-revalidate")
+                super().end_headers()
+
+            def do_OPTIONS(self):
+                self.send_response(200)
+                self.end_headers()
+
+        handler = functools.partial(_CorsHandler, directory=str(hls_dir))
+        with ThreadingHTTPServer(("", args.serve_port), handler) as httpd:
+            print(f"Serving HLS playback from {hls_dir} on port {args.serve_port}")
+            print(f"Open http://localhost:{args.serve_port}/index.html  (Ctrl+C stops)")
+            try:
+                httpd.serve_forever()
+            except KeyboardInterrupt:
+                print("\nServer stopped by user.")
 
 
 def cmd_trace(args):
     from ..fingerprint import trace_leak
 
+    out_dir = Path(args.output_dir)
+    copies_file = getattr(args, "copies_file", None)
+    # reference quirk preserved: a relative 'detection[/...]' output dir is
+    # relocated next to the copies file when one is given
+    # (reference: tests/detect_watermarks.py:286-292)
+    if copies_file and (args.output_dir == "detection"
+                        or args.output_dir.startswith("detection/")):
+        out_dir = Path(copies_file).resolve().parent / args.output_dir
+    if getattr(args, "clean", False) and out_dir.exists():
+        import shutil
+
+        shutil.rmtree(out_dir)
     result = trace_leak(
-        args.input, args.output_dir, args.payload_file,
+        args.input, out_dir, args.payload_file,
         segment_duration=args.segment_duration, max_copies=args.max_copies, key=args.key,
     )
     print("\n===== WATERMARK DETECTION RESULTS =====")
@@ -346,6 +392,8 @@ def main(argv=None):
         level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s  %(message)s"
     )
     p = argparse.ArgumentParser(prog="vfp_tpu", description=__doc__)
+    p.add_argument("--verbose", "-v", action="store_true",
+                   help="enable DEBUG logging (incl. @trace decorators)")
     p.add_argument("--platform", default="default",
                    help="JAX backend override, passed to jax_platforms "
                         "verbatim ('cpu', 'tpu', or a comma list; this "
@@ -421,6 +469,10 @@ def main(argv=None):
     l.add_argument("--pattern", default=None)
     l.add_argument("--random-seed", type=int, default=None)
     l.add_argument("--segment-duration", type=float, default=2.0)
+    l.add_argument("--serve", action="store_true",
+                   help="after --create-hls, serve the playback bundle over "
+                        "HTTP with CORS headers until interrupted")
+    l.add_argument("--serve-port", type=int, default=8000)
     l.add_argument("--create-hls", action="store_true",
                    help="emit a per-pattern HLS playlist + CORS server + player page")
     l.add_argument("--detect", action="store_true")
@@ -429,6 +481,11 @@ def main(argv=None):
     t = sub.add_parser("trace", help="recover the fingerprint from a leak")
     t.add_argument("input"), t.add_argument("output_dir")
     t.add_argument("--payload-file", default=None)
+    t.add_argument("--copies-file", default=None,
+                   help="segment_copies.json; relocates a relative "
+                        "'detection' output dir next to it (reference quirk)")
+    t.add_argument("--clean", action="store_true",
+                   help="remove the output dir before tracing")
     t.add_argument("--segment-duration", type=float, default=2.0)
     t.add_argument("--max-copies", type=int, default=3)
     t.add_argument("--key", type=int, default=0)
@@ -456,6 +513,8 @@ def main(argv=None):
     s.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
+    if args.verbose:
+        logging.getLogger().setLevel(logging.DEBUG)
     if args.platform != "default":
         import jax
 
