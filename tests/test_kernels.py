@@ -409,3 +409,32 @@ class TestIntPath:
         flat[:, : nbh * nbw] = bits.reshape(2, -1)
         for p in np.asarray(deg.degenerate_batch(jnp.asarray(flat))):
             np.testing.assert_array_equal(p, payload)
+
+    def test_codec_int_path_field_reaches_kernels(self, rng, monkeypatch):
+        """DwtDctSvd(int_path=True) threads the flag into both fused kernels
+        (the one-line default flip after the on-chip A/B must be enough)."""
+        import vfp_tpu.kernels.fused_embed as fe
+        from test_dwt_dct_svd import natural_frames
+
+        from vfp_tpu.wm import DwtDctSvd
+
+        seen = {}
+        real_mark, real_extract = fe.fused_mark_planar, fe.fused_extract_planar
+
+        def spy_mark(planes, wm2d, scale, chan, **kw):
+            seen["mark_int"] = kw.get("int_path", False)
+            return real_mark(planes, wm2d, scale, chan, interpret=True, **kw)
+
+        def spy_extract(planes, scale, chan, **kw):
+            seen["extract_int"] = kw.get("int_path", False)
+            return real_extract(planes, scale, chan, interpret=True, **kw)
+
+        monkeypatch.setattr(fe, "fused_mark_planar", spy_mark)
+        monkeypatch.setattr(fe, "fused_extract_planar", spy_extract)
+        codec = DwtDctSvd(backend="pallas", int_path=True)
+        frames = natural_frames(rng, 1, 64, 128)
+        cap = codec.wm_capacity((64, 128, 3))
+        wm = jnp.asarray(rng.randint(0, 2, int(np.prod(cap))), jnp.float32)
+        marked = codec.mark_frames(jnp.asarray(frames), wm)
+        codec.extract_frames(marked)
+        assert seen == {"mark_int": True, "extract_int": True}

@@ -75,6 +75,13 @@ class DwtDctSvd:
     scales: Sequence[float] = (0.0, 15.0, 0.0)
     blk: int = 4
     backend: str = "auto"
+    # fused-kernel integer-domain input/epilogue (kernels/fused_embed.py):
+    # replaces the u8<->i32<->f32 cast chain (47% of the kernel per the
+    # per-op profile) with fixed-point i32 MACs.  Decode decisions are
+    # bit-identical; marked pixels stay in the documented borderline-.5
+    # class.  Default off until the on-chip A/B (tools/bench_intpath.py)
+    # shows the win.
+    int_path: bool = False
 
     def _use_pallas(self) -> bool:
         import jax
@@ -267,7 +274,8 @@ class DwtDctSvd:
             (nbh, nbw), _ = block_grid(frames.shape[1:3], self.blk)
             wm2d = wm.reshape(-1)[: nbh * nbw].reshape(nbh, nbw)
             planes = jnp.moveaxis(frames, -1, 1)
-            out = fused_mark_planar(planes, wm2d, float(self.scales[c]), c)
+            out = fused_mark_planar(planes, wm2d, float(self.scales[c]), c,
+                                    int_path=self.int_path)
             return jnp.moveaxis(out, 1, -1)
         b, h, w, _ = frames.shape
         h4, w4 = h // 4 * 4, w // 4 * 4
@@ -314,7 +322,8 @@ class DwtDctSvd:
             from ..kernels.fused_embed import fused_extract_planar
 
             bits2d = fused_extract_planar(
-                jnp.moveaxis(frames, -1, 1), float(self.scales[1]), 1
+                jnp.moveaxis(frames, -1, 1), float(self.scales[1]), 1,
+                int_path=self.int_path,
             )
             bits = bits2d.reshape(b, nbh * nbw)
             return jnp.pad(bits, ((0, 0), (0, capacity - nbh * nbw)))
