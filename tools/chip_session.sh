@@ -1,0 +1,20 @@
+#!/bin/bash
+# Full chip measurement program for the pending round-3 items, in priority
+# order (run when the axon relay returns; logs land in /tmp/chip_session):
+#   1. DT-CWT fast_dots A/B  -> flip DtcwtKey/DtcwtImg defaults if >~15% win
+#   2. flagship int_path A/B -> flip DwtDctSvd default if the win is real
+#   3. full bench_suite --repeat 3 (refreshes bench_suite_report.json with
+#      whatever defaults the A/Bs decided)
+#   4. bench.py (the driver metric, warm cache)
+# Each step is bounded; a dead relay fails the step instead of hanging.
+set -o pipefail
+cd /root/repo || exit 1
+mkdir -p /tmp/chip_session
+{
+  echo "=== chip_session start $(date -u +%FT%TZ) ==="
+  echo "--- fastdots A/B ---"
+  timeout 2400 python tools/bench_fastdots.py 2>&1
+  echo "--- intpath A/B ---"
+  timeout 2400 python tools/bench_intpath.py 2>&1
+  echo "=== A/Bs done $(date -u +%FT%TZ) — decide defaults before the suite ==="
+} 2>&1 | tee /tmp/chip_session/ab.log
