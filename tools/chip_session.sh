@@ -12,6 +12,8 @@ cd /root/repo || exit 1
 mkdir -p /tmp/chip_session
 {
   echo "=== chip_session start $(date -u +%FT%TZ) ==="
+  echo "--- Mosaic DEFAULT-precision probe ---"
+  timeout 1200 python tools/probe_precision.py 2>&1
   echo "--- fastdots A/B ---"
   timeout 2400 python tools/bench_fastdots.py 2>&1
   echo "--- intpath A/B ---"
