@@ -76,10 +76,13 @@ def bench(codec, name, b=8, iters=32):
 
 
 def main():
+    from vfp_tpu.wm import DctQim
+
     for fast in (False, True):
         tag = "fast" if fast else "exact"
         bench(DtcwtKey(fast_dots=fast), f"DtcwtKey/{tag}")
         bench(DtcwtImg(fast_dots=fast), f"DtcwtImg/{tag}")
+        bench(DctQim(fast_dots=fast), f"DctQim/{tag}", b=16, iters=64)
 
 
 if __name__ == "__main__":

@@ -30,7 +30,7 @@ def _payload_bits(s: str) -> np.ndarray:
 
 
 def _make_codec(args):
-    """Codec from --codec (+ --fast-dots for the DT-CWT family)."""
+    """Codec from --codec (+ --fast-dots for the DT-CWT + DctQim kernels)."""
     from ..utils import VfpConfig
 
     cfg = VfpConfig()
@@ -408,8 +408,8 @@ def main(argv=None):
     m.add_argument("input"), m.add_argument("output")
     m.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     m.add_argument("--fast-dots", action="store_true",
-                   help="DT-CWT codecs: single-bf16-pass kernel matmuls "
-                        "(faster, decision-equivalent)")
+                   help="DT-CWT/DctQim codecs: single-bf16-pass kernel "
+                        "matmuls (faster, decision-equivalent)")
     m.add_argument("--payload", default="01100101")
     m.add_argument("--wm-image", default=None, help="grayscale watermark image payload")
     m.add_argument("--generator", choices=["auto", "shuffler", "grayscale"], default="auto")
@@ -424,8 +424,8 @@ def main(argv=None):
     d.add_argument("input")
     d.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     d.add_argument("--fast-dots", action="store_true",
-                   help="DT-CWT codecs: single-bf16-pass kernel matmuls "
-                        "(faster, decision-equivalent)")
+                   help="DT-CWT/DctQim codecs: single-bf16-pass kernel "
+                        "matmuls (faster, decision-equivalent)")
     d.add_argument("--payload-len", type=int, default=8)
     d.add_argument("--payload", default=None,
                    help="expected payload bits; sets --payload-len and prints match")
@@ -442,8 +442,8 @@ def main(argv=None):
     tf.add_argument("out_dir")
     tf.add_argument("--codec", choices=codecs, default="dwtDctSvd")
     tf.add_argument("--fast-dots", action="store_true",
-                   help="DT-CWT codecs: single-bf16-pass kernel matmuls "
-                        "(faster, decision-equivalent)")
+                   help="DT-CWT/DctQim codecs: single-bf16-pass kernel "
+                        "matmuls (faster, decision-equivalent)")
     tf.add_argument("--payload", default="01100101")
     tf.add_argument("--wm-image", default=None)
     tf.add_argument("--generator", choices=["auto", "shuffler", "grayscale"], default="auto")

@@ -120,7 +120,21 @@ def _consts8(chunk: int):
     return s, st, kp, basis, k2, w17, b2, sumsel
 
 
-def _select_blocks(yp, up, s_ref, n_chunks, chunk):
+def _dot(a, b, fast: bool):
+    """MXU matmul; ``fast`` rounds both operands to ONE bf16 pass (same
+    contract as kernels/dtcwt_level1.dot_exact(fast=True)).  For the QIM
+    codec this is decision-safe by construction: the masks are recomputed
+    identically on both sides (Y is never modified), and the bf16 noise on
+    the U coefficient (~0.5 units) is far under the decode margin step/2
+    (>= 10 at the default alpha).  Borderline mask-class / QIM-bin flips are
+    the same deviation class as DT-CWT fast_dots (tests pin decisions)."""
+    if fast:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _select_blocks(yp, up, s_ref, n_chunks, chunk, fast: bool = False):
     """Both channels' [STRIP, W] -> 8 in-block-column selections
     [2*STRIP, nbw] (row chan*STRIP + br*8 + r), stacked so each selection
     matmul runs at full M=128 row fill."""
@@ -128,15 +142,14 @@ def _select_blocks(yp, up, s_ref, n_chunks, chunk):
     sel = []
     for c in range(8):
         segs = [
-            jnp.dot(yu[:, l * chunk : (l + 1) * chunk], s_ref[c],
-                    preferred_element_type=jnp.float32)
+            _dot(yu[:, l * chunk : (l + 1) * chunk], s_ref[c], fast)
             for l in range(n_chunks)
         ]
         sel.append(segs[0] if n_chunks == 1 else jnp.concatenate(segs, axis=1))
     return sel
 
 
-def _y_masks8(sel, k2_ref, sumsel_ref, mean):
+def _y_masks8(sel, k2_ref, sumsel_ref, mean, fast: bool = False):
     """All NBR Y block-rows' QIM step masks [NBR, nbw], via NBR/2 paired
     [128, 128] DCT matmuls with interleaved component-major output
     (reference: dct_encoder.py:41-102).  Mask math runs on 2-sublane
@@ -145,10 +158,10 @@ def _y_masks8(sel, k2_ref, sumsel_ref, mean):
     for m in range(NBR // 2):
         ym = jnp.concatenate([sel[ci][16 * m : 16 * m + 16] for ci in range(8)],
                              axis=0)  # [128, nbw], row c*16 + t*8 + r
-        # Mosaic DEFAULT contract (bf16x3-class; HIGH isn't lowered):
-        # coefficient-sum error ~1e-2 vs mask thresholds spread over
-        # O(1000) — fewer passes on the dominant matmul
-        d2 = jnp.dot(k2_ref[:], ym, preferred_element_type=jnp.float32)  # rows q*2 + t
+        # DEFAULT contract (HIGH isn't lowered in Mosaic): coefficient-sum
+        # error well under mask thresholds spread over O(1000); ``fast``
+        # drops to one explicit bf16 pass
+        d2 = _dot(k2_ref[:], ym, fast)  # rows q*2 + t
         c = jnp.abs(d2)
 
         def at(r, col):
@@ -156,7 +169,7 @@ def _y_masks8(sel, k2_ref, sumsel_ref, mean):
             return c[i : i + 2, :]
 
         dcl = at(0, 0) + at(0, 1) + at(0, 2) + at(1, 0) + at(1, 1) + at(2, 0)
-        eh = jnp.dot(sumsel_ref[:], c, preferred_element_type=jnp.float32) - dcl
+        eh = _dot(sumsel_ref[:], c, fast) - dcl
         e = (at(3, 0) + at(4, 0) + at(5, 0) + at(6, 0)
              + at(0, 3) + at(0, 4) + at(0, 5) + at(0, 6)
              + at(2, 1) + at(1, 2) + at(2, 2) + at(3, 3))
@@ -179,11 +192,11 @@ def _y_masks8(sel, k2_ref, sumsel_ref, mean):
     return tex * _lum_mask(dc, mean)
 
 
-def _u17(sel, w17_ref):
+def _u17(sel, w17_ref, fast: bool = False):
     """U-channel DCT coefficient [2][1] for all NBR block-rows: [NBR, nbw]."""
     u_cstack = jnp.concatenate([sel[ci][STRIP:] for ci in range(8)],
                                axis=0)  # [8*STRIP, nbw], row c*64 + br*8 + r
-    return jnp.dot(w17_ref[:], u_cstack, preferred_element_type=jnp.float32)
+    return _dot(w17_ref[:], u_cstack, fast)
 
 
 def _lum_mask(dc, mean):
@@ -199,7 +212,7 @@ def _lum_mask(dc, mean):
 
 def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref,
                   w17_ref, b2_ref, sum_ref, o_ref):
-    alpha, nbh, nbw_real, chunk = static
+    alpha, nbh, nbw_real, chunk, fast = static
     j = pl.program_id(1)
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)  # [3, STRIP, W]
     w = x.shape[-1]
@@ -216,11 +229,11 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref,
     # every lane through the scatter matmuls below
     bcol = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 1)
     brow = jax.lax.broadcasted_iota(jnp.int32, (NBR, nbw), 0)
-    sel = _select_blocks(yp, up, s_ref, n_chunks, chunk)
+    sel = _select_blocks(yp, up, s_ref, n_chunks, chunk, fast)
     # component-major QIM: masks, U coefficient, and the QIM rule all run
     # ONCE on [NBR, nbw] tiles (previously NBR separate 1-sublane passes)
-    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean)
-    v = _u17(sel, w17_ref)
+    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean, fast)
+    v = _u17(sel, w17_ref, fast)
     step2 = step + step
     base = jnp.sign(v) * jnp.floor(jnp.abs(v) / step2) * step2
     v_new = jnp.where(wm == 0.0, base, base + jnp.sign(v) * step)
@@ -232,13 +245,13 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref,
     amp_sc = []
     for c in range(8):
         outs = [
-            jnp.dot(amps[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
-                    preferred_element_type=jnp.float32)
+            _dot(amps[:, l * (chunk // 8) : (l + 1) * (chunk // 8)], st_ref[c],
+                 fast)
             for l in range(n_chunks)
         ]
         amp_sc.append(outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=1))
     amp_stack = jnp.concatenate(amp_sc, axis=0)  # [8*NBR, W], row c*NBR + br
-    du = jnp.dot(b2_ref[:], amp_stack, preferred_element_type=jnp.float32)  # [STRIP, W], row br*8+r
+    du = _dot(b2_ref[:], amp_stack, fast)  # [STRIP, W], row br*8+r
 
     # Delta-identity epilogue (see kernels/fused_embed.py): the color
     # roundtrip is affine and rounds back to x exactly for integer pixels,
@@ -258,16 +271,16 @@ def _embed_kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref,
 
 
 def _decode_kernel(static, x_ref, mean_ref, s_ref, k2_ref, w17_ref, sum_ref, o_ref):
-    alpha, chunk = static
+    alpha, chunk, fast = static
     x = x_ref[0].astype(jnp.int32).astype(jnp.float32)
     w = x.shape[-1]
     n_chunks = w // chunk
     mean = mean_ref[pl.program_id(0), 0]
     yp = M_FWD[0, 0] * x[0] + M_FWD[0, 1] * x[1] + M_FWD[0, 2] * x[2] + OFF_FWD[0]
     up = M_FWD[1, 0] * x[0] + M_FWD[1, 1] * x[1] + M_FWD[1, 2] * x[2] + OFF_FWD[1]
-    sel = _select_blocks(yp, up, s_ref, n_chunks, chunk)
-    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean)
-    v = _u17(sel, w17_ref)
+    sel = _select_blocks(yp, up, s_ref, n_chunks, chunk, fast)
+    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean, fast)
+    v = _u17(sel, w17_ref, fast)
     o_ref[0, 0] = (jnp.mod(jnp.round(v / step), 2.0) == 1.0).astype(jnp.float32)
 
 
@@ -292,10 +305,14 @@ def _y_dc_mean(planes, h8, w8):
     return jnp.mean(yp, axis=(1, 2))  # [B]
 
 
-@partial(jax.jit, static_argnames=("alpha", "interpret"))
+@partial(jax.jit, static_argnames=("alpha", "interpret", "fast"))
 def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20.0,
-                       interpret: bool = False):
-    """u8 planes [B, 3, H, W] + wm grid [nbh, nbw] -> marked planes (DctQim)."""
+                       interpret: bool = False, fast: bool = False):
+    """u8 planes [B, 3, H, W] + wm grid [nbh, nbw] -> marked planes (DctQim).
+
+    ``fast``: single-bf16-pass kernel matmuls (see _dot) — fewer MXU passes
+    when the backend's DEFAULT contract is multi-pass; decision-equivalent
+    (tests/test_dct_qim.py::TestFastDctQim)."""
     b, _, h, w = planes.shape
     nbh, nbw_real = h // 8, w // 8
     h8, w8 = nbh * 8, nbw_real * 8
@@ -315,7 +332,7 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
     wm3d = wm3d.reshape(strips, NBR, nbw)
     s, st, _, _, k2, w17, b2, sumsel = _consts8(chunk)
     out = pl.pallas_call(
-        partial(_embed_kernel, (float(alpha), nbh, nbw_real, chunk)),
+        partial(_embed_kernel, (float(alpha), nbh, nbw_real, chunk, fast)),
         out_shape=jax.ShapeDtypeStruct(planes.shape, jnp.uint8),
         grid=(b, strips),
         in_specs=[
@@ -340,9 +357,9 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
     return out if wp == w else out[:, :, :, :w]
 
 
-@partial(jax.jit, static_argnames=("alpha", "interpret"))
+@partial(jax.jit, static_argnames=("alpha", "interpret", "fast"))
 def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
-                          interpret: bool = False):
+                          interpret: bool = False, fast: bool = False):
     """u8 planes [B, 3, H, W] -> decoded bits [B, nbh, nbw] (DctQim)."""
     b, _, h, w = planes.shape
     nbh, nbw_real = h // 8, w // 8
@@ -360,7 +377,7 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
         planes = jnp.pad(planes, ((0, 0), (0, 0), (0, 0), (0, wp - w)))
     s, st, _, _, k2, w17, _, sumsel = _consts8(chunk)
     out = pl.pallas_call(
-        partial(_decode_kernel, (float(alpha), chunk)),
+        partial(_decode_kernel, (float(alpha), chunk, fast)),
         out_shape=jax.ShapeDtypeStruct((b, strips, NBR, nbw), jnp.float32),
         grid=(b, strips),
         in_specs=[

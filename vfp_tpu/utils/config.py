@@ -82,7 +82,7 @@ class VfpConfig:
         if name in ("dwtdctsvd", "dwt_dct_svd", "svd"):
             return DwtDctSvd(scales=tuple(c.scales), blk=c.blk, backend=c.backend)
         if name in ("dct", "dctqim", "dct_qim"):
-            return DctQim(alpha=c.alpha_dct)
+            return DctQim(alpha=c.alpha_dct, fast_dots=c.fast_dots)
         if name in ("dtcwtkey", "dtcwt_key"):
             return DtcwtKey(alpha=c.alpha_key, step=c.step,
                             fast_dots=c.fast_dots)

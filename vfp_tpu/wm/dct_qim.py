@@ -96,6 +96,11 @@ class DctQim:
     coeff_row: int = 2
     coeff_col: int = 1
     backend: str = "auto"
+    # single-bf16-pass kernel matmuls (kernels/fused_dct_qim._dot) — fewer
+    # MXU passes; decision-equivalent (masks recomputed identically on both
+    # sides, coefficient noise << step/2 margin; TestFastDctQim pins it).
+    # Default off until the on-chip A/B shows the win.
+    fast_dots: bool = False
 
     def wm_capacity(self, frame_shape):
         return (1, frame_shape[0] * frame_shape[1] // 64)
@@ -170,7 +175,8 @@ class DctQim:
             from ..kernels.fused_dct_qim import fused_dct_qim_mark
 
             wm2d = wm.reshape(-1)[: nbh * nbw].reshape(nbh, nbw)
-            out = fused_dct_qim_mark(jnp.moveaxis(frames, -1, 1), wm2d, self.alpha)
+            out = fused_dct_qim_mark(jnp.moveaxis(frames, -1, 1), wm2d, self.alpha,
+                                     fast=self.fast_dots)
             return jnp.moveaxis(out, 1, -1)
         yuv = bgr_to_yuv(frames.astype(jnp.float32))
         u = yuv[..., 1]
@@ -185,7 +191,8 @@ class DctQim:
 
             b, h, w, _ = frames.shape
             nbh, nbw = _block_grid8(h, w)
-            bits = fused_dct_qim_extract(jnp.moveaxis(frames, -1, 1), self.alpha)
+            bits = fused_dct_qim_extract(jnp.moveaxis(frames, -1, 1), self.alpha,
+                                         fast=self.fast_dots)
             bits = bits.reshape(b, nbh * nbw)
             return jnp.pad(bits, ((0, 0), (0, h * w // 64 - nbh * nbw)))
         return self.decode_yuv(bgr_to_yuv(frames.astype(jnp.float32)))
