@@ -9,16 +9,17 @@ and emits a u8 output of the production shape.  Deltas attribute time to:
   cast       u8 -> i32 -> f32 of the 3 input planes
   color      + Y and U channel lincombs
   select     + 8 in-block-column selection matmuls (the MAC-dominant op)
-  maskdct    + the paired [128, 128] Y DCT matmuls (k2) alone
-  maskchain  + the full luminance/texture where-chains (2-sublane VPU tiles)
+  maskdct    + the block-diagonal component-major Y DCT matmul (k4) alone
+  maskchain  + the full-tile luminance/texture where-chain
   qim        + U coefficient w17 matmul + QIM rule
   scatter    + amp selections + the [STRIP, 64] IDCT-basis matmul
   (epilogue = full - scatter: delta-identity color-back + round/clip/cast)
 
 Decision table this feeds (after tools/probe_precision.py):
-  select/maskdct dominate & DEFAULT is 3-pass -> build bf16 fast mode
-  maskchain dominates -> restructure the chain onto full 8-sublane tiles
+  select/maskdct dominate & DEFAULT is 3-pass -> flip fast_dots default
   cast dominates -> int-MAC path like the flagship's
+  (the mask chain already runs once on full 8-sublane component tiles via
+  the k4 block-diagonal restructure)
 
 Run: python tools/profile_dctqim.py [--iters 64] [--batch 16]
 """
@@ -64,7 +65,7 @@ def _emit(x_i32, o_ref, dep=None):
     o_ref[0] = out.astype(jnp.uint8)
 
 
-def _kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref, w17_ref,
+def _kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k4_ref, w17_ref,
             b2_ref, sum_ref, o_ref):
     stage, alpha, nbh, nbw_real, chunk = static
     j = pl.program_id(1)
@@ -87,17 +88,15 @@ def _kernel(static, x_ref, wm_ref, mean_ref, s_ref, st_ref, k2_ref, w17_ref,
         _emit(xi, o_ref, _dep_i32(sel[0]) + _dep_i32(sel[7]))
         return
     if stage == "maskdct":
-        # the paired Y DCT matmuls alone (mirrors _y_masks8's d2 loop,
-        # chain skipped)
-        dep = jnp.int32(0)
-        for m in range(NBR // 2):
-            ym = jnp.concatenate(
-                [sel[ci][16 * m : 16 * m + 16] for ci in range(8)], axis=0)
-            d2 = jnp.dot(k2_ref[:], ym, preferred_element_type=jnp.float32)
-            dep = dep + _dep_i32(d2)
-        _emit(xi, o_ref, dep)
+        # the block-diagonal component-major Y DCT matmul alone (mirrors
+        # _y_masks8's d, chain skipped)
+        ym = jnp.concatenate(
+            [sel[ci][16 * m : 16 * m + 16] for m in range(NBR // 2)
+             for ci in range(8)], axis=0)
+        d = jnp.dot(k4_ref[:], ym, preferred_element_type=jnp.float32)
+        _emit(xi, o_ref, _dep_i32(d))
         return
-    step = alpha * _y_masks8(sel, k2_ref, sum_ref, mean)
+    step = alpha * _y_masks8(sel, k4_ref, sum_ref, mean)
     if stage == "maskchain":
         _emit(xi, o_ref, _dep_i32(step))
         return
@@ -154,12 +153,12 @@ def peeled_mark(planes, wm2d, stage, alpha=20.0, interpret=False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk // 8, chunk), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((512, 512), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NBR, 8 * STRIP), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP, 8 * NBR), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBR, 512), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),

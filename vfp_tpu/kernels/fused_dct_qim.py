@@ -82,20 +82,26 @@ def _consts8(chunk: int):
 
     # -- component-major constants (all permutations folded, zero runtime
     # row reordering; see fused_embed._consts for the same trick) --
-    # k2: TWO Y block-rows' DCTs in one full [128, 128] matmul, output rows
-    # INTERLEAVED (q*2 + t for pair member t) so the mask math runs on
-    # 2-sublane component slices.  Input layout: concat over c of
-    # sel[c][16m : 16m + 16] -> row c*16 + t*8 + r.
-    kron2 = np.kron(np.eye(2, dtype=np.float32), kp)  # rows t*64+q, cols t*64+c*8+r
-    p2 = np.zeros((128, 128), np.float32)
-    q2 = np.zeros((128, 128), np.float32)
-    for t in range(2):
-        for qi in range(64):
-            p2[qi * 2 + t, t * 64 + qi] = 1.0
-        for c in range(8):
-            for r in range(8):
-                q2[t * 64 + c * 8 + r, c * 16 + t * 8 + r] = 1.0
-    k2 = np.ascontiguousarray((p2 @ kron2 @ q2).astype(np.float32))
+    # k4: ALL NBR Y block-rows' DCTs in ONE [512, 512] block-diagonal
+    # matmul with component-major output rows q * NBR + br, so every DCT
+    # component used by the masks is an 8-sublane-ALIGNED [NBR, nbw] slice
+    # and the whole luminance/texture where-chain runs ONCE on full vreg
+    # tiles.  (The previous pairing ran the chain 4x on 2-sublane slices —
+    # 25% VPU utilization on the chain, the kernel's densest op sequence.
+    # The block-diagonal form is 4x the MACs of the four [128, 128] pairs,
+    # but the matmul is MXU-cheap either way.)  Input layout: concat over
+    # (m, c) of sel[c][16m : 16m + 16] -> row m*128 + c*16 + t*8 + r, block
+    # row br = 2m + t.
+    k4 = np.zeros((512, 512), np.float32)
+    for m in range(NBR // 2):
+        for t in range(2):
+            br = 2 * m + t
+            for q in range(64):
+                for c in range(8):
+                    for r in range(8):
+                        k4[q * NBR + br, m * 128 + c * 16 + t * 8 + r] = \
+                            kp[q, c * 8 + r]
+    k4 = np.ascontiguousarray(k4)
     # w17: U-channel DCT coefficient [2][1] for ALL NBR block-rows in one
     # matmul — the QIM path never reads any other U component.  Input
     # layout: concat over c of sel[c][64:128] -> row c*64 + br*8 + r.
@@ -112,12 +118,12 @@ def _consts8(chunk: int):
         for r in range(8):
             for c in range(8):
                 b2[br * 8 + r, c * NBR + br] = basis[r, c]
-    # per-tile |coef| sums of an interleaved pair: sumsel[t, q*2+t] = 1
-    sumsel = np.zeros((2, 128), np.float32)
-    for t in range(2):
-        for qi in range(64):
-            sumsel[t, qi * 2 + t] = 1.0
-    return s, st, kp, basis, k2, w17, b2, sumsel
+    # per-block-row |coef| sums over all 64 components: sumsel[br, q*8+br]=1
+    sumsel = np.zeros((NBR, 512), np.float32)
+    for br in range(NBR):
+        for q in range(64):
+            sumsel[br, q * NBR + br] = 1.0
+    return s, st, kp, basis, k4, w17, b2, sumsel
 
 
 def _dot(a, b, fast: bool):
@@ -149,47 +155,43 @@ def _select_blocks(yp, up, s_ref, n_chunks, chunk, fast: bool = False):
     return sel
 
 
-def _y_masks8(sel, k2_ref, sumsel_ref, mean, fast: bool = False):
-    """All NBR Y block-rows' QIM step masks [NBR, nbw], via NBR/2 paired
-    [128, 128] DCT matmuls with interleaved component-major output
-    (reference: dct_encoder.py:41-102).  Mask math runs on 2-sublane
-    component slices instead of NBR single-row passes."""
-    dcs, texs = [], []
-    for m in range(NBR // 2):
-        ym = jnp.concatenate([sel[ci][16 * m : 16 * m + 16] for ci in range(8)],
-                             axis=0)  # [128, nbw], row c*16 + t*8 + r
-        # DEFAULT contract (HIGH isn't lowered in Mosaic): coefficient-sum
-        # error well under mask thresholds spread over O(1000); ``fast``
-        # drops to one explicit bf16 pass
-        d2 = _dot(k2_ref[:], ym, fast)  # rows q*2 + t
-        c = jnp.abs(d2)
+def _y_masks8(sel, k4_ref, sumsel_ref, mean, fast: bool = False):
+    """All NBR Y block-rows' QIM step masks [NBR, nbw] in ONE pass
+    (reference: dct_encoder.py:41-102): one block-diagonal component-major
+    DCT matmul (rows q*NBR + br — see _consts8), then the whole
+    luminance/texture where-chain on full-tile [NBR, nbw] component slices.
+    DEFAULT contract (HIGH isn't lowered in Mosaic): coefficient-sum error
+    well under mask thresholds spread over O(1000); ``fast`` drops to one
+    explicit bf16 pass."""
+    ym = jnp.concatenate(
+        [sel[ci][16 * m : 16 * m + 16] for m in range(NBR // 2)
+         for ci in range(8)], axis=0)  # [512, nbw], row m*128 + c*16 + t*8 + r
+    d = _dot(k4_ref[:], ym, fast)  # [512, nbw], rows q*NBR + br
+    c = jnp.abs(d)
 
-        def at(r, col):
-            i = 2 * (r * 8 + col)
-            return c[i : i + 2, :]
+    def at(r, col):
+        i = NBR * (r * 8 + col)
+        return c[i : i + NBR, :]
 
-        dcl = at(0, 0) + at(0, 1) + at(0, 2) + at(1, 0) + at(1, 1) + at(2, 0)
-        eh = _dot(sumsel_ref[:], c, fast) - dcl
-        e = (at(3, 0) + at(4, 0) + at(5, 0) + at(6, 0)
-             + at(0, 3) + at(0, 4) + at(0, 5) + at(0, 6)
-             + at(2, 1) + at(1, 2) + at(2, 2) + at(3, 3))
-        h = eh - e
-        l = dcl - at(0, 0)
-        l_e = l / e
-        le_h = (l + e) / h
+    dcl = at(0, 0) + at(0, 1) + at(0, 2) + at(1, 0) + at(1, 1) + at(2, 0)
+    eh = _dot(sumsel_ref[:], c, fast) - dcl
+    e = (at(3, 0) + at(4, 0) + at(5, 0) + at(6, 0)
+         + at(0, 3) + at(0, 4) + at(0, 5) + at(0, 6)
+         + at(2, 1) + at(1, 2) + at(2, 2) + at(3, 3))
+    h = eh - e
+    l = dcl - at(0, 0)
+    l_e = l / e
+    le_h = (l + e) / h
 
-        def edge(a, b):
-            return ((l_e >= a) & (le_h >= b)) | ((l_e >= b) & (le_h >= a)) | (le_h > 4.0)
+    def edge(a, b):
+        return ((l_e >= a) & (le_h >= b)) | ((l_e >= b) & (le_h >= a)) | (le_h > 4.0)
 
-        edge_val = jnp.where(l + e <= 400.0, 1.125, 1.25)
-        ramp = 1.0 + 1.25 * (eh - 290.0) / (1800.0 - 290.0)
-        hi = jnp.where(edge(1.4, 1.1), edge_val, ramp)
-        lo = jnp.where(edge(2.3, 1.6), edge_val, jnp.where(e + h > 290.0, ramp, 1.0))
-        texs.append(jnp.where(eh > 125.0, jnp.where(eh > 900.0, hi, lo), 1.0))
-        dcs.append(d2[0:2, :])  # raw signed DC rows (components (0,0))
-    tex = jnp.concatenate(texs, axis=0)  # [NBR, nbw]
-    dc = jnp.concatenate(dcs, axis=0)
-    return tex * _lum_mask(dc, mean)
+    edge_val = jnp.where(l + e <= 400.0, 1.125, 1.25)
+    ramp = 1.0 + 1.25 * (eh - 290.0) / (1800.0 - 290.0)
+    hi = jnp.where(edge(1.4, 1.1), edge_val, ramp)
+    lo = jnp.where(edge(2.3, 1.6), edge_val, jnp.where(e + h > 290.0, ramp, 1.0))
+    tex = jnp.where(eh > 125.0, jnp.where(eh > 900.0, hi, lo), 1.0)
+    return tex * _lum_mask(d[:NBR, :], mean)  # rows 0..NBR = signed DC
 
 
 def _u17(sel, w17_ref, fast: bool = False):
@@ -344,10 +346,10 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, chunk // 8, chunk), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((512, 512), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NBR, 8 * STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((STRIP, 8 * NBR), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBR, 512), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
@@ -386,9 +388,9 @@ def fused_dct_qim_extract(planes: jnp.ndarray, alpha: float = 20.0,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((8, chunk, chunk // 8), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((512, 512), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NBR, 8 * STRIP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NBR, 512), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, NBR, nbw), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
