@@ -70,7 +70,7 @@ class TestLowLinkMarker:
         frames = natural_frames(rng, 4, 64, 96)
         cap = codec.wm_capacity(frames.shape[1:])
         wms = [Shuffler(key=0).generate_wm(payload_for_segment(1, c), cap) for c in range(2)]
-        mm = LowLinkMarker(codec, wms, batch_size=4)
+        mm = LowLinkMarker(codec, wms, batch_size=4, wire="f16")
         got = mm.mark_all(frames)
         assert got.shape == (2, 4, 64, 96, 3)
         for v in range(2):
@@ -225,7 +225,112 @@ class TestLowLinkExtractor:
             jnp.asarray(frames), jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)))
         deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
         want = FrameExtractor(codec, deg, batch_size=4).extract(marked)
-        got = LowLinkExtractor(codec, deg, batch_size=4).extract(marked)
+        got = LowLinkExtractor(codec, deg, batch_size=4, wire="f16").extract(marked)
         np.testing.assert_array_equal(got, want)
         for p in got:
             np.testing.assert_array_equal(p, PAYLOAD)
+
+
+class TestU8Wire:
+    """Dithered u8 LL up-leg (default wire — half the link traffic of f16).
+
+    Three load-bearing pieces: the signed-chroma bias (without it the
+    unsigned clip destroys negative U LL — measured 19% raw bit errors),
+    the 2x2 subtractive dither (smooth blocks otherwise quantize with
+    identical per-entry errors, shifting s0 by 4x the half-step), and the
+    collect-time RECENTRING (lowlink.recentre_dll): the device centres s0
+    of the QUANTIZED LL, so without correction the marked frame sits
+    off-centre by u^T E v — with it, centering matches the f16 wire."""
+
+    def test_mark_and_extract_clean(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 4, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        wmf = np.asarray(wm).reshape(-1)
+        mm = LowLinkMarker(codec, [wm], batch_size=4, wire="u8")
+        got = mm.mark_all(frames)[0]
+        # raw per-block DECISION parity vs the exact full-frame path: the
+        # wire+recentring must add zero new bit errors.  (Not vs the wm
+        # itself: blocks whose s1 exceeds the bit-0 target 0.25*scale are
+        # undecodable by the SCHEME — s1 takes over the decode — and this
+        # input has two such blocks; the exact path fails them identically.)
+        exact = np.asarray(codec.mark_frames(
+            jnp.asarray(frames), jnp.asarray(wmf, jnp.float32)))
+        bits = np.asarray(codec.extract_frames(jnp.asarray(got)))
+        bits_exact = np.asarray(codec.extract_frames(jnp.asarray(exact)))
+        nb = (64 // 8) * (96 // 8)
+        np.testing.assert_array_equal(bits[:, :nb], bits_exact[:, :nb])
+        # and the scheme's own raw error rate is what it is: tiny
+        assert (bits_exact[:, :nb] != wmf[:nb]).mean() < 0.01
+        # u8-wire extractor decodes exact-path marked frames
+        exact = np.asarray(codec.mark_frames(
+            jnp.asarray(frames), jnp.asarray(wmf, jnp.float32)))
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
+        fx = LowLinkExtractor(codec, deg, batch_size=4, wire="u8")
+        for p in fx.extract(exact):
+            np.testing.assert_array_equal(p, PAYLOAD)
+
+    def test_u8_centering_matches_f16(self, rng):
+        """The durability-relevant property: each marked block's s0 must sit
+        as close to its QIM centre under the u8 wire as under f16 — the
+        attack margin IS the off-centre distance, so distribution parity
+        here implies equal survival through any channel.  (Per-block s0
+        EQUALITY is not expected: near a cell edge the two wires may pick
+        different — equally valid — centres for the same bit.)  Measured on
+        this input: rms off-centre 1.070 (u8) vs 1.075 (f16), both tails
+        under the scale/4 = 3.75 margin; the residual is the shared pixel-
+        rounding noise, not wire quantization."""
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 4, 240, 320)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        scale = float(codec.scales[1])
+
+        from vfp_tpu.pipeline.lowlink import _host_triplet, active_channel
+
+        chan, blk = active_channel(codec), codec.blk
+
+        def off_centre(marked):
+            ll = host_ll(marked, chan).astype(np.float32)
+            k, hc, wc = ll.shape
+            nbh, nbw = hc // blk, wc // blk
+            X = (ll[:, : nbh * blk, : nbw * blk]
+                 .reshape(k, nbh, blk, nbw, blk)
+                 .transpose(0, 1, 3, 2, 4).reshape(-1, blk, blk))
+            s0, _, _ = _host_triplet(X)
+            return np.abs((s0 % (scale / 2)) - scale / 4)
+
+        off_u8 = off_centre(
+            LowLinkMarker(codec, [wm], batch_size=4, wire="u8").mark_all(frames)[0])
+        off_f16 = off_centre(
+            LowLinkMarker(codec, [wm], batch_size=4, wire="f16").mark_all(frames)[0])
+        rms = lambda x: float(np.sqrt((x ** 2).mean()))
+        assert rms(off_u8) <= rms(off_f16) + 0.05, (rms(off_u8), rms(off_f16))
+        assert float(np.percentile(off_u8, 99)) <= float(
+            np.percentile(off_f16, 99)) + 0.15
+        # every block decodes its own bit back: inside the margin
+        assert off_u8.max() <= scale / 4 + 1e-3
+
+    def test_two_plane_packed_u8(self, rng):
+        """The packed two-plane dispatcher under the u8 wire: variants
+        recover their payloads (the packer encodes at flush time)."""
+        from vfp_tpu.pipeline.lowlink import PackedTwoPlane
+
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 6, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [Shuffler(key=0).generate_wm(payload_for_segment(1, c), cap)
+               for c in range(3)]
+        packer = PackedTwoPlane(codec, pack=4, wire="u8")
+        mm = LowLinkMarker(codec, wms, batch_size=4, packer=packer, wire="u8")
+        h1 = mm.submit(frames[:4])
+        h2 = mm.submit(frames[4:])
+        packer.flush()
+        got = np.concatenate([mm.collect(h1), mm.collect(h2)], axis=1)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape((8,))
+        for v in range(3):
+            bits = np.asarray(codec.extract_frames(jnp.asarray(got[v])))
+            for b in bits:
+                np.testing.assert_array_equal(
+                    deg.degenerate(b), payload_for_segment(1, v))

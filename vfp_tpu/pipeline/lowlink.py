@@ -26,11 +26,172 @@ pixels.  Payload recovery is identical (tests/test_lowlink.py).
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import numpy as np
 
 DLL_Q = 8.0  # int8 fixed-point scale: |dll| < 15 => |q| <= 120 < 127
+
+
+def default_wire() -> str:
+    """Up-leg wire format: 'u8' (default) or 'f16' (VFP_LL_WIRE=f16).
+
+    The f16 LL up-leg dominates the mark path's link traffic ~4:1 over the
+    int8 delta down-leg (154 KB vs 38 KB per 480p frame), and the relay link
+    is the workflow bottleneck.  'u8' ships dithered round(LL / 2) — one byte
+    per LL pixel, half the traffic — and the collect-time recentring (see
+    the block comment above recentre_dll) cancels the quantization's effect
+    on the marked frames' QIM centering: decision parity with the exact
+    full-frame path and off-centre-distance parity with the f16 wire are
+    pinned by tests/test_lowlink.py::TestU8Wire.  The extract leg takes the
+    raw ~0.58-rms s0 perturbation against the scale/4 margin (no correction
+    possible read-side); extract decisions on centred content are unchanged
+    (same tests).
+    """
+    return os.environ.get("VFP_LL_WIRE", "u8")
+
+
+@lru_cache(maxsize=None)
+def _dither(hc: int, wc: int) -> np.ndarray:
+    """Subtractive-dither phase pattern, 2x2-tiled {0, 0.5, 1, 1.5}.
+
+    Smooth content makes the 16 LL entries of a QIM block quantize with
+    IDENTICAL errors (E = e * ones), which shifts the dominant singular
+    value by u^T E v = 4e — up to the full +-2^1 step and past the
+    scale/4 = 3.75 margin (measured: 19% raw bit errors on blockwise-
+    smooth frames with plain step-2 rounding).  Offsetting each cell's
+    quantization lattice by one of four phases puts 4 cells of every 4x4
+    block on each sublattice, so a constant block's MEAN error is the
+    step-0.5 quantization of its value: |mean| <= 0.25, s0 shift <= 1.
+    """
+    i = np.arange(hc)[:, None] % 2
+    j = np.arange(wc)[None, :] % 2
+    return ((2 * i + j) * 0.5).astype(np.float32)
+
+
+def _wire_bias(chan: int) -> float:
+    """u8 wire bias: chroma LL is SIGNED (cv2's +0.5 float offset, not
+    +128 — U/V LL spans ~[-224, 224]), so bias by 128 wire units to center
+    it; the luma LL is [0, 511] and needs none."""
+    return 0.0 if chan == 0 else 128.0
+
+
+def wire_encode(ll16: np.ndarray, wire: str, chan: int) -> np.ndarray:
+    """f16 LL -> wire array (dithered u8 at step 2, or f16 passthrough)."""
+    if wire == "u8":
+        p = _dither(*ll16.shape[-2:])
+        return np.clip(
+            np.rint((ll16.astype(np.float32) - p) * 0.5) + _wire_bias(chan),
+            0.0, 255.0).astype(np.uint8)
+    return ll16
+
+
+def _wire_decode(llw, chan: int):
+    """Wire array -> f32 LL on device (dtype-dispatched; jit traces once
+    per input dtype, so this Python branch is static per compiled fn)."""
+    import jax
+    import jax.numpy as jnp
+
+    if llw.dtype == jnp.uint8:
+        hc, wc = llw.shape[-2], llw.shape[-1]
+        i = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 0) % 2
+        j = jax.lax.broadcasted_iota(jnp.int32, (hc, wc), 1) % 2
+        p = (2 * i + j).astype(jnp.float32) * 0.5
+        return (llw.astype(jnp.float32) - _wire_bias(chan)) * 2.0 + p
+    return llw.astype(jnp.float32)
+
+
+# -- u8-wire recentring -------------------------------------------------------
+#
+# The device computes each block's QIM delta from the QUANTIZED LL (X - E),
+# so the marked frame's s0 lands off-centre by exactly e = u^T E v (up to
+# second order).  The host knows E exactly, and the delta block IS du * u v^T,
+# so for |du| large enough to carry the direction the fix is a pure rescale:
+#
+#   dll' = dll * (1 - <dll, E> / ||dll||_F^2)     (= (du - e) * u v^T)
+#
+# Blocks with |du| below WIRE_DU_MIN can't yield their direction from dll
+# (int8 quantization noise dominates); for those (~2*WIRE_DU_MIN/scale of
+# blocks) the host recomputes the delta outright from the TRUE LL block with
+# a numpy twin of the device's power iteration.  Net: the u8 wire's marked
+# frames are centred like the f16 wire's, at ~half the up-leg traffic.
+
+WIRE_DU_MIN = 0.5  # ||dll||_F (= |du|) below which the rescale is noise
+
+
+def wire_error(ll16: np.ndarray, llw: np.ndarray, chan: int) -> np.ndarray:
+    """E = the host's exact LL (f32) minus the device's wire-decoded view."""
+    p = _dither(*ll16.shape[-2:])
+    dec = (llw.astype(np.float32) - _wire_bias(chan)) * 2.0 + p
+    return ll16.astype(np.float32) - dec
+
+
+def _host_triplet(x: np.ndarray):
+    """[m, n, n] -> (s0 [m], u [m, n], v [m, n]): numpy twin of
+    ops.soa.top_triplet_soa(method='power') — same squaring count, so host
+    and device agree on s0 to float noise (which only ever moves a QIM
+    target to a neighbouring *valid* centre for the same bit)."""
+    from ..ops.soa import _EPS, _V0
+
+    n = x.shape[-1]
+    g = np.einsum("mra,mrb->mab", x, x)
+    for _ in range(5):
+        norm = np.sqrt((g * g).sum((-2, -1), keepdims=True))
+        g = g / np.maximum(norm, _EPS)
+        g = g @ g
+    v = g @ _V0[:n]
+    vn = np.linalg.norm(v, axis=1, keepdims=True)
+    v = np.where(vn > _EPS, v / np.maximum(vn, _EPS), _V0[:n])
+    bv = np.einsum("mrc,mc->mr", x, v)
+    s0 = np.linalg.norm(bv, axis=1)
+    e0 = np.zeros_like(bv)
+    e0[:, 0] = 1.0
+    u = np.where(s0[:, None] > _EPS, bv / np.maximum(s0[:, None], _EPS), e0)
+    return s0, u, v
+
+
+def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
+                 blk: int, scale: float, plane_bits: np.ndarray) -> np.ndarray:
+    """Recentre u8-wire deltas on the TRUE LL's s0 (see block comment above).
+
+    dll_q [P, k, hc, wc] int8, E / ll16 [k, hc, wc], plane_bits [P, >=nb]
+    (each plane's per-block bit, row-major blocks).  Returns corrected int8.
+    """
+    P, k, hc, wc = dll_q.shape
+    nbh, nbw = hc // blk, wc // blk
+    rh, rw = nbh * blk, nbw * blk
+    db = (dll_q[:, :, :rh, :rw].astype(np.float32)
+          .reshape(P, k, nbh, blk, nbw, blk)
+          .transpose(0, 1, 2, 4, 3, 5)) * np.float32(1.0 / DLL_Q)
+    Eb = (E[:, :rh, :rw].reshape(k, nbh, blk, nbw, blk)
+          .transpose(0, 1, 3, 2, 4))
+    num = (db * Eb).sum((-2, -1))  # [P, k, nbh, nbw]  <dll, E>
+    den = (db * db).sum((-2, -1))  # ||dll||_F^2
+    big = den >= WIRE_DU_MIN * WIRE_DU_MIN
+    alpha = np.where(big, 1.0 - num / np.maximum(den, 1e-12), 1.0)
+    db *= alpha[..., None, None].astype(np.float32)
+    small = ~big
+    if small.any():
+        ki, ii, ji = np.nonzero(small.any(0))
+        Xb = (ll16[:, :rh, :rw].astype(np.float32)
+              .reshape(k, nbh, blk, nbw, blk)
+              .transpose(0, 1, 3, 2, 4))[ki, ii, ji]  # [m, blk, blk]
+        s0, u, v = _host_triplet(Xb)
+        base = np.floor(s0 / scale) + 0.25
+        for p in range(P):
+            sel = small[p, ki, ii, ji]
+            if not sel.any():
+                continue
+            bit = plane_bits[p].reshape(-1)[ii[sel] * nbw + ji[sel]]
+            ds = (base[sel] + 0.5 * bit.astype(np.float32)) * scale - s0[sel]
+            db[p, ki[sel], ii[sel], ji[sel]] = (
+                ds[:, None, None] * u[sel][:, :, None] * v[sel][:, None, :])
+    out = dll_q.copy()
+    out[:, :, :rh, :rw] = np.clip(
+        np.rint(db.transpose(0, 1, 2, 4, 3, 5).reshape(P, k, rh, rw) * DLL_Q),
+        -127, 127).astype(np.int8)
+    return out
 
 
 def lowlink_ok(codec) -> bool:
@@ -182,7 +343,7 @@ def _mark_fn(codec, n_variants: int):
 
     @jax.jit
     def fn(ll16, wms):
-        ll = ll16.astype(jnp.float32)
+        ll = _wire_decode(ll16, chan)
         dll = jnp.stack(
             [codec._ll_delta(ll, wms[v], scale) for v in range(n_variants)]
         )
@@ -213,7 +374,7 @@ def _mark_fn_2plane(codec):
 
     @jax.jit
     def fn(ll16):
-        d01 = codec._ll_delta2(ll16.astype(jnp.float32), scale)
+        d01 = codec._ll_delta2(_wire_decode(ll16, chan), scale)
         return jnp.clip(jnp.round(d01 * DLL_Q), -127.0, 127.0).astype(jnp.int8)
 
     return fn
@@ -250,11 +411,12 @@ class PackedTwoPlane:
     would mean nondeterministic multi-second XLA compiles inside timed runs.
     """
 
-    def __init__(self, codec, pack: int = 16):
+    def __init__(self, codec, pack: int = 16, wire: str | None = None):
         import threading
 
         assert lowlink_ok(codec)
         self.codec = codec
+        self.wire = wire or default_wire()
         self.pack = int(pack)
         self.chan = active_channel(codec)
         self._fn = _mark_fn_2plane(codec)
@@ -266,11 +428,17 @@ class PackedTwoPlane:
         self.calls = 0
 
     def submit_ll(self, ll: np.ndarray):
-        """[k, hc, wc] f16 -> ticket: [(chunk, offset, n), ...] pieces."""
+        """[k, hc, wc] wire-encoded LL -> ticket: [(chunk, offset, n), ...].
+
+        Wire encoding happens in the caller (LowLinkMarker.submit needs the
+        encoded copy anyway for collect-time recentring); concatenation along
+        the frame axis never changes a frame's encoding (the dither pattern
+        is per-LL-position, not per-chunk)."""
         pieces = []
         with self._lock:
-            if self._pend and self._pend[0].shape[1:] != ll.shape[1:]:
-                self._flush_locked()  # dim change: never mix shapes in a chunk
+            if self._pend and (self._pend[0].shape[1:] != ll.shape[1:]
+                               or self._pend[0].dtype != ll.dtype):
+                self._flush_locked()  # dim/wire change: never mix in a chunk
             pos, k = 0, len(ll)
             while pos < k:
                 take = min(self.pack - self._pend_n, k - pos)
@@ -289,20 +457,20 @@ class PackedTwoPlane:
 
         import jax.numpy as jnp
 
-        ll = (self._pend[0] if len(self._pend) == 1
-              else np.concatenate(self._pend))
+        llw = (self._pend[0] if len(self._pend) == 1
+               else np.concatenate(self._pend))
         t0 = time.perf_counter()
-        if len(ll) == self.pack:
-            self._cur.dev = [(self._fn(jnp.asarray(ll)), self.pack)]
+        if len(llw) == self.pack:
+            self._cur.dev = [(self._fn(jnp.asarray(llw)), self.pack)]
             self.calls += 1
         else:
             # forced partial flush: power-of-two ladder keeps shapes bounded
-            devs, pos, rem = [], 0, len(ll)
+            devs, pos, rem = [], 0, len(llw)
             step = 1 << (self.pack.bit_length() - 1)
             while rem:
                 while step > rem:
                     step >>= 1
-                devs.append((self._fn(jnp.asarray(ll[pos : pos + step])), step))
+                devs.append((self._fn(jnp.asarray(llw[pos : pos + step])), step))
                 self.calls += 1
                 pos += step
                 rem -= step
@@ -349,9 +517,11 @@ class LowLinkMarker:
     path applies, device calls are packed across instances/segments.
     """
 
-    def __init__(self, codec, wms, batch_size: int = 16, packer=None):
+    def __init__(self, codec, wms, batch_size: int = 16, packer=None,
+                 wire: str | None = None):
         assert lowlink_ok(codec), "LowLinkMarker requires a single-channel DwtDctSvd codec"
         self.codec = codec
+        self.wire = wire or default_wire()
         self.chan = active_channel(codec)
         self.batch_size = batch_size
         self._wms_np = np.stack([np.asarray(w).reshape(-1) for w in wms]).astype(np.float32)
@@ -370,7 +540,8 @@ class LowLinkMarker:
         # approximates host-busy wall; link_fetch is time blocked on the
         # device->host transfer in collect)
         self.stage_seconds = {"host_ll": 0.0, "dispatch": 0.0,
-                              "link_fetch": 0.0, "reconstruct": 0.0}
+                              "link_fetch": 0.0, "recentre": 0.0,
+                              "reconstruct": 0.0}
 
     @property
     def n_variants(self) -> int:
@@ -392,13 +563,15 @@ class LowLinkMarker:
         # segments are uniform-length, so that is 1-2 shapes per video, and
         # the persistent compile cache absorbs them across runs.
         ll = host_ll(frames, self.chan)
+        llw = wire_encode(ll, self.wire, self.chan)
+        corr = (ll, llw) if self.wire == "u8" else None
         t1 = time.perf_counter()
         if self._packer is not None:
-            handle = (self._packer.submit_ll(ll), frames, k)
+            handle = (self._packer.submit_ll(llw), frames, k, corr)
         elif self._two_plane:
-            handle = (self._fn(jnp.asarray(ll)), frames, k)
+            handle = (self._fn(jnp.asarray(llw)), frames, k, corr)
         else:
-            handle = (self._fn(jnp.asarray(ll), self._wms), frames, k)
+            handle = (self._fn(jnp.asarray(llw), self._wms), frames, k, corr)
         t2 = time.perf_counter()
         self.stage_seconds["host_ll"] += t1 - t0
         if self._packer is None:  # packer times its own (shared) dispatches
@@ -424,20 +597,32 @@ class LowLinkMarker:
         """Handle -> [V, k, H, W, 3] uint8 marked frames."""
         import time
 
-        dll_dev, frames, k = handle
+        dll_dev, frames, k, corr = handle
         t0 = time.perf_counter()
         if self._packer is not None:
             dll = self._packer.fetch(dll_dev)  # [2, k, hc, wc] int8
         else:
             dll = np.asarray(dll_dev)[:, :k]  # [V or 2, k, hc, wc] int8
         t1 = time.perf_counter()
+        if corr is not None:
+            ll, llw = corr
+            nb = (dll.shape[-2] // self.codec.blk) * (dll.shape[-1] // self.codec.blk)
+            if self._two_plane:
+                pb = np.repeat(np.arange(2, dtype=np.float32)[:, None], nb, 1)
+            else:
+                pb = self._wms_np[:, :nb]
+            dll = recentre_dll(dll, wire_error(ll, llw, self.chan), ll,
+                               self.codec.blk,
+                               float(self.codec.scales[self.chan]), pb)
+            self.stage_seconds["recentre"] += time.perf_counter() - t1
+        t2 = time.perf_counter()
         if self._two_plane:
             masks = self._bit_masks(*dll.shape[-2:])  # [V, hc, wc]
             dll = np.where(masks[:, None, :, :], dll[1], dll[0])
         out = reconstruct_all(frames, dll, self.chan)
         if self._packer is None:  # packer times its own fetch (shared chunks)
             self.stage_seconds["link_fetch"] += t1 - t0
-        self.stage_seconds["reconstruct"] += time.perf_counter() - t1
+        self.stage_seconds["reconstruct"] += time.perf_counter() - t2
         return out
 
     def mark_all(self, frames: np.ndarray) -> np.ndarray:
@@ -447,9 +632,11 @@ class LowLinkMarker:
 class LowLinkExtractor:
     """FrameExtractor-compatible payload extractor over the LL transport."""
 
-    def __init__(self, codec, degenerator, batch_size: int = 16):
+    def __init__(self, codec, degenerator, batch_size: int = 16,
+                 wire: str | None = None):
         assert lowlink_ok(codec)
         self.codec = codec
+        self.wire = wire or default_wire()
         self.degenerator = degenerator
         self.batch_size = batch_size
         self.chan = active_channel(codec)
@@ -466,7 +653,7 @@ class LowLinkExtractor:
 
         @partial(jax.jit, static_argnums=1)
         def fn(ll16, capacity_pad):
-            ll = ll16.astype(jnp.float32)
+            ll = _wire_decode(ll16, chan)
             hc, wc = ll.shape[1:]
             nbh, nbw = hc // codec.blk, wc // codec.blk
             from ..ops.soa import image_to_soa, top_triplet_soa
@@ -494,7 +681,7 @@ class LowLinkExtractor:
         k, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
         # exact-shape upload (no pad): verify decodes 6-frame segments with
         # batch_size=16, so padding tripled the (bottleneck) up-leg traffic
-        ll = host_ll(frames, self.chan)
+        ll = wire_encode(host_ll(frames, self.chan), self.wire, self.chan)
         from ..wm.dwt_dct_svd import block_grid
 
         (nbh, nbw), capacity = block_grid((h, w), self.codec.blk)
