@@ -594,6 +594,24 @@ def bench_hls_workflow(quick):
     }
 
 
+def bench_hls_workflow_host(quick):
+    """Config 3b: the same workflow over the zero-link host transport
+    (wire='host', pipeline/lowlink.py) — the outage fallback and, behind
+    this container's relay, the faster end-to-end path (no link traffic,
+    no per-call relay tax, no run-to-run link variance)."""
+    import os
+
+    prev = os.environ.get("VFP_LL_WIRE")
+    os.environ["VFP_LL_WIRE"] = "host"
+    try:
+        return bench_hls_workflow(quick)
+    finally:
+        if prev is None:
+            del os.environ["VFP_LL_WIRE"]
+        else:
+            os.environ["VFP_LL_WIRE"] = prev
+
+
 def bench_leak_trace(quick):
     """Config 4: leak splice + trace back to the fingerprint."""
     import numpy as np
@@ -762,12 +780,14 @@ def main():
         ("dtcwt_durability", bench_dtcwt_durability),
         ("durability_mp4v", bench_mp4v_durability),
         ("hls_workflow", bench_hls_workflow),
+        ("hls_workflow_host", bench_hls_workflow_host),
         ("leak_trace", bench_leak_trace),
         ("concurrent_serve", bench_concurrent_serve),
     ]:
         if wanted is not None and not any(s in name for s in wanted):
             continue
         fps_key = {"hls_workflow": "marked_frames_per_sec_incl_io",
+                   "hls_workflow_host": "marked_frames_per_sec_incl_io",
                    "leak_trace": "trace_frames_per_sec_incl_io",
                    "concurrent_serve": "marked_frames_per_sec_incl_io"}.get(name)
         reps = args.repeat if (args.repeat > 1 and fps_key) else 1

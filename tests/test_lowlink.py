@@ -312,6 +312,66 @@ class TestU8Wire:
         # every block decodes its own bit back: inside the margin
         assert off_u8.max() <= scale / 4 + 1e-3
 
+    def test_host_wire_decision_parity_and_no_jax(self, rng):
+        """wire='host' (the zero-link fallback: numpy twin of the device
+        program) — raw decode decisions match the exact full-frame path,
+        and the extractor recovers payloads, all without a single device
+        dispatch (handle carries a plain ndarray)."""
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 4, 96, 128)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        wmf = np.asarray(wm).reshape(-1)
+        mm = LowLinkMarker(codec, [wm], batch_size=4, wire="host")
+        h = mm.submit(frames)
+        assert isinstance(h[0], np.ndarray)  # no device handle anywhere
+        got = mm.collect(h)[0]
+        exact = np.asarray(codec.mark_frames(
+            jnp.asarray(frames), jnp.asarray(wmf, jnp.float32)))
+        bits = np.asarray(codec.extract_frames(jnp.asarray(got)))
+        bits_exact = np.asarray(codec.extract_frames(jnp.asarray(exact)))
+        nb = (96 // 8) * (128 // 8)
+        np.testing.assert_array_equal(bits[:, :nb], bits_exact[:, :nb])
+        # host extractor on exact-path marked frames: full payload recovery
+        deg = DeShuffler(key=0, threshold="fixed").set_shape(PAYLOAD.shape)
+        fx = LowLinkExtractor(codec, deg, batch_size=4, wire="host")
+        assert fx._fn is None  # never built a jit function
+        for p in fx.extract(exact):
+            np.testing.assert_array_equal(p, PAYLOAD)
+
+    def test_host_wire_multi_variant(self, rng):
+        """Host wire through the V>=3 (two-plane-eligible) path: each
+        variant's frames decode to that variant's payload."""
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 4, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [Shuffler(key=0).generate_wm(payload_for_segment(1, c), cap)
+               for c in range(3)]
+        mm = LowLinkMarker(codec, wms, batch_size=4, wire="host")
+        got = mm.mark_all(frames)
+        deg = DeShuffler(key=0, threshold="fixed").set_shape((8,))
+        fx = LowLinkExtractor(codec, deg, batch_size=4, wire="host")
+        for v in range(3):
+            recovered = list(fx.extract(got[v]))
+            vote = (np.mean(recovered, 0) >= 0.5).astype(np.uint8)
+            np.testing.assert_array_equal(vote, payload_for_segment(1, v))
+
+    def test_auto_wire_falls_back_to_host_when_backend_dead(self, monkeypatch):
+        """Outage policy: with no VFP_LL_WIRE override and the backend
+        probe failed, the transport resolves to 'host' and use_lowlink
+        turns ON for the flagship regardless of backend — workflows keep
+        running instead of blocking forever in backend init."""
+        from vfp_tpu.pipeline import lowlink
+        from vfp_tpu.pipeline.embedder import use_lowlink
+
+        monkeypatch.delenv("VFP_LL_WIRE", raising=False)
+        monkeypatch.delenv("VFP_LOWLINK", raising=False)
+        monkeypatch.setattr(lowlink, "_BACKEND_OK", False)
+        assert lowlink.default_wire() == "host"
+        assert use_lowlink(DwtDctSvd()) is True
+        monkeypatch.setattr(lowlink, "_BACKEND_OK", True)
+        assert lowlink.default_wire() == "u8"
+
     def test_two_plane_packed_u8(self, rng):
         """The packed two-plane dispatcher under the u8 wire: variants
         recover their payloads (the packer encodes at flush time)."""

@@ -145,9 +145,9 @@ def mark_segments(
     # an empty queue) make the accounting complete: main-thread wall ≈
     # host_ll + dispatch + decode_wait + queue_wait + loop overhead
     ss = {"decode": 0.0, "host_ll": 0.0, "dispatch": 0.0, "link_fetch": 0.0,
-          "recentre": 0.0, "reconstruct": 0.0, "device_full": 0.0,
-          "encode_write": 0.0, "decode_wait": 0.0, "queue_wait": 0.0,
-          "writer_idle": 0.0}
+          "recentre": 0.0, "host_qim": 0.0, "reconstruct": 0.0,
+          "device_full": 0.0, "encode_write": 0.0, "decode_wait": 0.0,
+          "queue_wait": 0.0, "writer_idle": 0.0}
 
     def _read_timed(file):
         t0 = time.perf_counter()
@@ -221,9 +221,10 @@ def mark_segments(
         if n_variants < 3:
             return None
         from ..pipeline.embedder import use_lowlink
+        from ..pipeline.lowlink import default_wire
 
-        if not use_lowlink(codec):
-            return None
+        if not use_lowlink(codec) or default_wire() == "host":
+            return None  # host wire makes no device calls: nothing to pack
         if (h, w) not in packers:
             from ..pipeline.lowlink import PackedTwoPlane
 
@@ -315,7 +316,7 @@ def mark_segments(
         wall = time.perf_counter() - t_wall0
         stats["wall_seconds"] = round(wall, 3)
         stats["stage_seconds"] = {k: round(v, 3) for k, v in ss.items()}
-        host = (ss["decode"] + ss["host_ll"] + ss["recentre"]
+        host = (ss["decode"] + ss["host_ll"] + ss["recentre"] + ss["host_qim"]
                 + ss["reconstruct"] + ss["encode_write"])
         stats["host_busy_seconds"] = round(host, 3)
         stats["link_device_wait_seconds"] = round(

@@ -26,17 +26,22 @@ _SENTINEL = None
 def use_lowlink(codec) -> bool:
     """LL-domain link transport policy (pipeline/lowlink.py): on by default
     when the link is the bottleneck (TPU behind the relay/PCIe); VFP_LOWLINK
-    =0/1 forces it off/on (the forced-on path is used by CPU parity tests)."""
+    =0/1 forces it off/on (the forced-on path is used by CPU parity tests).
+    The host wire (VFP_LL_WIRE=host) short-circuits to True BEFORE the
+    backend probe: it exists to keep workflows running when the device is
+    unreachable, so it must never block on jax.default_backend()."""
     import os
 
-    from .lowlink import lowlink_ok
+    from .lowlink import default_wire, lowlink_ok
 
     flag = os.environ.get("VFP_LOWLINK", "auto")
     if flag == "0":
         return False
     if not lowlink_ok(codec):
         return False
-    return flag == "1" or jax.default_backend() == "tpu"
+    if flag == "1" or default_wire() == "host":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 class FrameMarker:
@@ -50,18 +55,22 @@ class FrameMarker:
 
     def __init__(self, codec, wm: np.ndarray, batch_size: int = 16):
         self.codec = codec
-        self.wm = jax.numpy.asarray(np.asarray(wm).reshape(-1), jax.numpy.float32)
+        self._wm_np = np.asarray(wm).reshape(-1)
+        self.wm = None  # device copy, placed on first full-frame mark: the
+        # host-wire lowlink path must never touch the backend (outage-proof)
         self.batch_size = batch_size
         self._ll = None
         if use_lowlink(codec):
             from .lowlink import LowLinkMarker
 
-            self._ll = LowLinkMarker(codec, [np.asarray(wm).reshape(-1)], batch_size)
+            self._ll = LowLinkMarker(codec, [self._wm_np], batch_size)
         self._fn = jax.jit(lambda f, w: codec.mark_frames(f, w))
 
     def mark(self, frames: np.ndarray) -> np.ndarray:
         if self._ll is not None:
             return self._ll.mark_all(frames)[0]
+        if self.wm is None:
+            self.wm = jax.numpy.asarray(self._wm_np, jax.numpy.float32)
         k = len(frames)
         if k < self.batch_size:
             pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)
@@ -77,23 +86,21 @@ class MultiMarker:
     flagship codec routes through the low-link LL-domain transport."""
 
     def __init__(self, codec, wms: np.ndarray, batch_size: int = 16, packer=None):
-        import jax.numpy as jnp
-
         self.codec = codec
-        self.wms = jax.numpy.asarray(np.stack([np.asarray(w).reshape(-1) for w in wms]),
-                                     jnp.float32)
+        self._wms_np = np.stack([np.asarray(w).reshape(-1) for w in wms])
+        self.wms = None  # device copy, placed lazily (see FrameMarker.wm)
         self.batch_size = batch_size
         self._ll = None
         if use_lowlink(codec):
             from .lowlink import LowLinkMarker
 
-            self._ll = LowLinkMarker(codec, [np.asarray(w).reshape(-1) for w in wms],
-                                     batch_size, packer=packer)
+            self._ll = LowLinkMarker(codec, list(self._wms_np), batch_size,
+                                     packer=packer)
         self._fn = jax.jit(jax.vmap(lambda f, w: codec.mark_frames(f, w), in_axes=(None, 0)))
 
     @property
     def n_variants(self) -> int:
-        return len(self.wms)
+        return len(self._wms_np)
 
     def submit(self, frames: np.ndarray):
         """Async dispatch (low-link only); pair with collect() to overlap
@@ -114,6 +121,8 @@ class MultiMarker:
         return self._mark_full(frames)
 
     def _mark_full(self, frames: np.ndarray) -> np.ndarray:
+        if self.wms is None:
+            self.wms = jax.numpy.asarray(self._wms_np, jax.numpy.float32)
         k = len(frames)
         if k < self.batch_size:
             pad = np.repeat(frames[-1:], self.batch_size - k, axis=0)

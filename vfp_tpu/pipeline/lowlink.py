@@ -34,8 +34,52 @@ import numpy as np
 DLL_Q = 8.0  # int8 fixed-point scale: |dll| < 15 => |q| <= 120 < 127
 
 
+_BACKEND_OK: bool | None = None
+
+
+def backend_reachable() -> bool:
+    """One-shot probe: is the default JAX backend usable?
+
+    Backend init on a dead relay/tunnel BLOCKS FOREVER (no timeout inside
+    jax), so the probe runs in a daemon thread bounded by
+    VFP_BACKEND_PROBE_S (default 30 s; healthy init is ~1 s, the axon
+    tunnel a few more).  The verdict is cached for the process: a workflow
+    never pays the probe twice, and a dead backend stays dead."""
+    global _BACKEND_OK
+    if _BACKEND_OK is None:
+        import logging
+        import threading
+
+        res: list = []
+
+        def _probe():
+            try:
+                import jax
+
+                jax.devices()
+                res.append(True)
+            except Exception:  # pragma: no cover - backend-specific failures
+                res.append(False)
+
+        t = threading.Thread(target=_probe, daemon=True)
+        t.start()
+        t.join(float(os.environ.get("VFP_BACKEND_PROBE_S", "30")))
+        _BACKEND_OK = bool(res and res[0])
+        if not _BACKEND_OK:
+            logging.getLogger(__name__).warning(
+                "JAX backend unreachable (probe timed out) — flagship "
+                "transport falling back to wire='host' (zero device use)")
+    return _BACKEND_OK
+
+
 def default_wire() -> str:
-    """Up-leg wire format: 'u8' (default) or 'f16' (VFP_LL_WIRE=f16).
+    """Up-leg wire format: 'u8' (default), 'f16', or 'host'
+    (VFP_LL_WIRE=f16 / VFP_LL_WIRE=host).  'host' runs the whole mark/
+    extract math as the device program's numpy twin — zero link traffic,
+    zero backend use (see the host-only transport block comment).
+    Unset (auto): 'u8' when the backend answers a bounded reachability
+    probe, else 'host' — flagship workflows keep running through a relay
+    outage instead of blocking forever in backend init.
 
     The f16 LL up-leg dominates the mark path's link traffic ~4:1 over the
     int8 delta down-leg (154 KB vs 38 KB per 480p frame), and the relay link
@@ -49,7 +93,10 @@ def default_wire() -> str:
     possible read-side); extract decisions on centred content are unchanged
     (same tests).
     """
-    return os.environ.get("VFP_LL_WIRE", "u8")
+    wire = os.environ.get("VFP_LL_WIRE")
+    if wire:
+        return wire
+    return "u8" if backend_reachable() else "host"
 
 
 @lru_cache(maxsize=None)
@@ -192,6 +239,68 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
         np.rint(db.transpose(0, 1, 2, 4, 3, 5).reshape(P, k, rh, rw) * DLL_Q),
         -127, 127).astype(np.int8)
     return out
+
+
+# -- host-only transport (wire='host') ----------------------------------------
+#
+# The flagship's LL-domain math is small enough that on a link this slow it
+# is cheaper to not use the link at all: per 4x4 block, one Gram matrix, five
+# lane-batched squarings, two matvecs and an outer product (~0.7 kFLOP/block,
+# ~3.4 MFLOP per 480p frame).  wire='host' runs the mark/extract math as the
+# numpy twin of the device program — ZERO link traffic, zero jax dispatch —
+# which (a) keeps every flagship workflow alive when the relay/device is
+# unreachable (the process never touches the backend) and (b) outruns the
+# link path whenever the link is the bottleneck.  The TPU path remains the
+# throughput headline; this is the systems fallback the reference gets for
+# free by being CPU-only.
+
+
+def host_dll(ll16: np.ndarray, codec, chan: int,
+             plane_bits: np.ndarray) -> np.ndarray:
+    """Numpy twin of _mark_fn/_mark_fn_2plane: f16 LL [k, hc, wc] +
+    per-plane block bits [P, >= nb] -> int8 QIM LL delta [P, k, hc, wc].
+
+    Same float association as the device path (s_new = (floor(s0/scale) +
+    0.25 + 0.5*bit) * scale, delta assembled directly as ds*u*v^T), so
+    decisions agree; s0 comes from the same squaring count as
+    ops.soa.top_triplet_soa(method='power')."""
+    scale = float(codec.scales[chan])
+    blk = codec.blk
+    k, hc, wc = ll16.shape
+    nbh, nbw = hc // blk, wc // blk
+    rh, rw = nbh * blk, nbw * blk
+    X = (ll16[:, :rh, :rw].astype(np.float32)
+         .reshape(k, nbh, blk, nbw, blk)
+         .transpose(0, 1, 3, 2, 4).reshape(-1, blk, blk))  # [k*nb, blk, blk]
+    s0, u, v = _host_triplet(X)
+    outer = u[:, :, None] * v[:, None, :]
+    cell = np.floor(s0 / scale)
+    P = len(plane_bits)
+    out = np.zeros((P, k, hc, wc), np.int8)
+    for p in range(P):
+        bits = np.tile(plane_bits[p].reshape(-1)[: nbh * nbw].astype(np.float32), k)
+        s_new = (cell + 0.25 + 0.5 * bits) * scale
+        d = (s_new - s0)[:, None, None] * outer
+        dq = np.clip(np.rint(d * DLL_Q), -127, 127).astype(np.int8)
+        out[p, :, :rh, :rw] = (dq.reshape(k, nbh, nbw, blk, blk)
+                               .transpose(0, 1, 3, 2, 4).reshape(k, rh, rw))
+    return out
+
+
+def host_extract_bits(ll16: np.ndarray, codec, chan: int,
+                      capacity: int) -> np.ndarray:
+    """Numpy twin of the extract fn: f16 LL [k, hc, wc] -> [k, capacity] f32
+    decoded bits (zero-padded past the block grid, like decode_yuv)."""
+    scale = float(codec.scales[chan])
+    blk = codec.blk
+    k, hc, wc = ll16.shape
+    nbh, nbw = hc // blk, wc // blk
+    X = (ll16[:, : nbh * blk, : nbw * blk].astype(np.float32)
+         .reshape(k, nbh, blk, nbw, blk)
+         .transpose(0, 1, 3, 2, 4).reshape(-1, blk, blk))
+    s0, _, _ = _host_triplet(X)
+    bits = (np.mod(s0, scale) > scale * 0.5).astype(np.float32).reshape(k, -1)
+    return np.pad(bits, ((0, 0), (0, capacity - nbh * nbw)))
 
 
 def lowlink_ok(codec) -> bool:
@@ -530,18 +639,22 @@ class LowLinkMarker:
         # host (V-independent device work + down-leg); V <= 2: per-variant
         # planes are the same or less traffic, keep the direct path
         self._two_plane = len(self._wms_np) >= 3
-        self._packer = (packer if self._two_plane and packer is not None
-                        and packer.codec is codec else None)
+        if self.wire == "host":  # no device calls: nothing to pack or trace
+            self._packer = None
+            self._fn = None
+        else:
+            self._packer = (packer if self._two_plane and packer is not None
+                            and packer.codec is codec else None)
+            self._fn = (_mark_fn_2plane(codec) if self._two_plane
+                        else _mark_fn(codec, len(self._wms_np)))
         self._masks: dict = {}  # (hc, wc) -> [V, hc, wc] bool, built lazily
-        self._fn = (_mark_fn_2plane(codec) if self._two_plane
-                    else _mark_fn(codec, len(self._wms_np)))
         # per-stage busy seconds, accumulated across submit/collect calls
         # (single host core: these compete for the same CPU, so their sum
         # approximates host-busy wall; link_fetch is time blocked on the
         # device->host transfer in collect)
         self.stage_seconds = {"host_ll": 0.0, "dispatch": 0.0,
                               "link_fetch": 0.0, "recentre": 0.0,
-                              "reconstruct": 0.0}
+                              "host_qim": 0.0, "reconstruct": 0.0}
 
     @property
     def n_variants(self) -> int:
@@ -553,7 +666,7 @@ class LowLinkMarker:
 
         import jax.numpy as jnp
 
-        if self._wms is None and not self._two_plane:
+        if self._wms is None and not self._two_plane and self.wire != "host":
             self._wms = jnp.asarray(self._wms_np)
         k = len(frames)
         t0 = time.perf_counter()
@@ -563,18 +676,27 @@ class LowLinkMarker:
         # segments are uniform-length, so that is 1-2 shapes per video, and
         # the persistent compile cache absorbs them across runs.
         ll = host_ll(frames, self.chan)
-        llw = wire_encode(ll, self.wire, self.chan)
-        corr = (ll, llw) if self.wire == "u8" else None
         t1 = time.perf_counter()
-        if self._packer is not None:
-            handle = (self._packer.submit_ll(llw), frames, k, corr)
-        elif self._two_plane:
-            handle = (self._fn(jnp.asarray(llw)), frames, k, corr)
+        corr = None
+        if self.wire == "host":
+            nb = (ll.shape[1] // self.codec.blk) * (ll.shape[2] // self.codec.blk)
+            pb = (np.repeat(np.arange(2, dtype=np.float32)[:, None], nb, 1)
+                  if self._two_plane else self._wms_np[:, :nb])
+            handle = (host_dll(ll, self.codec, self.chan, pb), frames, k, None)
         else:
-            handle = (self._fn(jnp.asarray(llw), self._wms), frames, k, corr)
+            llw = wire_encode(ll, self.wire, self.chan)
+            corr = (ll, llw) if self.wire == "u8" else None
+            if self._packer is not None:
+                handle = (self._packer.submit_ll(llw), frames, k, corr)
+            elif self._two_plane:
+                handle = (self._fn(jnp.asarray(llw)), frames, k, corr)
+            else:
+                handle = (self._fn(jnp.asarray(llw), self._wms), frames, k, corr)
         t2 = time.perf_counter()
         self.stage_seconds["host_ll"] += t1 - t0
-        if self._packer is None:  # packer times its own (shared) dispatches
+        if self.wire == "host":
+            self.stage_seconds["host_qim"] += t2 - t1
+        elif self._packer is None:  # packer times its own (shared) dispatches
             self.stage_seconds["dispatch"] += t2 - t1
         return handle
 
@@ -640,7 +762,7 @@ class LowLinkExtractor:
         self.degenerator = degenerator
         self.batch_size = batch_size
         self.chan = active_channel(codec)
-        self._fn = self._build()
+        self._fn = None if self.wire == "host" else self._build()
 
     def _build(self):
         from functools import partial
@@ -679,13 +801,17 @@ class LowLinkExtractor:
         import jax.numpy as jnp
 
         k, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
-        # exact-shape upload (no pad): verify decodes 6-frame segments with
-        # batch_size=16, so padding tripled the (bottleneck) up-leg traffic
-        ll = wire_encode(host_ll(frames, self.chan), self.wire, self.chan)
         from ..wm.dwt_dct_svd import block_grid
 
         (nbh, nbw), capacity = block_grid((h, w), self.codec.blk)
-        return (self._fn(jnp.asarray(ll), capacity - nbh * nbw), k)
+        ll = host_ll(frames, self.chan)
+        if self.wire == "host":  # full decode on host: zero link traffic
+            bits = host_extract_bits(ll, self.codec, self.chan, capacity)
+            return (self.degenerator.degenerate_batch_np(bits), k)
+        # exact-shape upload (no pad): verify decodes 6-frame segments with
+        # batch_size=16, so padding tripled the (bottleneck) up-leg traffic
+        llw = wire_encode(ll, self.wire, self.chan)
+        return (self._fn(jnp.asarray(llw), capacity - nbh * nbw), k)
 
     def collect(self, handle) -> np.ndarray:
         out, k = handle
