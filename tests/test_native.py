@@ -131,3 +131,67 @@ class TestNativeReconstruct:
         finally:
             lowlink._native_reconstruct = orig
         np.testing.assert_array_equal(got, want)
+
+
+class TestNativeQim:
+    @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
+    def test_qim_dll_matches_numpy(self, rng):
+        """vfpio_qim_dll vs the NumPy twin: same power-by-squaring count and
+        float formulas, so deltas agree except where scalar-vs-vectorized
+        float noise rounds an int8 step differently or moves a borderline
+        s0 across a QIM cell edge (different, equally valid centre — a
+        whole-block s0-sized delta difference).  Assert: >=99% of blocks
+        bit-identical, and every differing block still centres its s0 on a
+        centre encoding the SAME bit (the decision-parity invariant)."""
+        from vfp_tpu.pipeline import lowlink
+        from vfp_tpu.wm import DwtDctSvd
+
+        codec = DwtDctSvd()
+        scale = float(codec.scales[1])
+        ll = (rng.rand(3, 60, 80).astype(np.float32) * 400).astype(np.float16)
+        bits = rng.randint(0, 2, (2, 15 * 20)).astype(np.float32)
+        got = lowlink.host_dll(ll, codec, 1, bits)
+        orig = lowlink._native_reconstruct
+        lowlink._native_reconstruct = lambda: None
+        try:
+            want = lowlink.host_dll(ll, codec, 1, bits)
+        finally:
+            lowlink._native_reconstruct = orig
+        gb = got.reshape(2, 3, 15, 4, 20, 4).transpose(0, 1, 2, 4, 3, 5)
+        wb = want.reshape(2, 3, 15, 4, 20, 4).transpose(0, 1, 2, 4, 3, 5)
+        same = (gb == wb).all((-2, -1))
+        assert same.mean() > 0.99, same.mean()
+        # differing blocks: marked s0 must still encode the same bit
+        X = (ll.astype(np.float32).reshape(3, 15, 4, 20, 4)
+             .transpose(0, 1, 3, 2, 4))
+        for p, f, i, j in np.argwhere(~same):
+            for d in (gb, wb):
+                m = X[f, i, j] + d[p, f, i, j].astype(np.float32) / 8.0
+                s0, _, _ = lowlink._host_triplet(m[None])
+                bit = float(np.mod(s0[0], scale) > scale * 0.5)
+                assert bit == bits[p, i * 20 + j], (p, f, i, j, s0)
+
+    @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
+    def test_qim_bits_matches_numpy_on_marked(self, rng):
+        """Extract decisions: native vs NumPy on CENTRED content (marked
+        frames keep s0 far from the decision threshold, so float noise
+        cannot flip) — must be identical."""
+        from vfp_tpu.pipeline import lowlink
+        from vfp_tpu.wm import DwtDctSvd, Shuffler
+
+        codec = DwtDctSvd()
+        frames = (rng.rand(2, 96, 128, 3) * 255).astype(np.uint8)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wm = Shuffler(key=0).generate_wm(np.arange(8) % 2, cap)
+        marked = lowlink.LowLinkMarker(
+            codec, [wm], batch_size=2, wire="host").mark_all(frames)[0]
+        ll = lowlink.host_ll(marked, 1)
+        total = int(np.prod(cap))
+        got = lowlink.host_extract_bits(ll, codec, 1, total)
+        orig = lowlink._native_reconstruct
+        lowlink._native_reconstruct = lambda: None
+        try:
+            want = lowlink.host_extract_bits(ll, codec, 1, total)
+        finally:
+            lowlink._native_reconstruct = orig
+        np.testing.assert_array_equal(got, want)

@@ -83,6 +83,18 @@ def _load_vfpio_uncached():
         ctypes.c_long,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
     ]
+    lib.vfpio_qim_dll.restype = None
+    lib.vfpio_qim_dll.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_float,
+    ]
+    lib.vfpio_qim_bits.restype = None
+    lib.vfpio_qim_bits.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_float,
+    ]
     lib.vfpio_reconstruct.restype = None
     lib.vfpio_reconstruct.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p,

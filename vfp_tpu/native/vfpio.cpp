@@ -18,7 +18,9 @@
 //   long  vfpio_write_batch(void* h, const unsigned char* data, long frames)
 //   int   vfpio_writer_close(void* h)
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdio>
 #include <cstring>
@@ -309,6 +311,136 @@ void vfpio_host_ll(const unsigned char* src, _Float16* out,
                 orow[x] = (_Float16)(s * 0.5f);
             }
         }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Host-only QIM transport kernels (pipeline/lowlink.py wire='host').
+//
+// Per 4x4 LL block: Gram matrix, 5 Frobenius-normalized squarings (the same
+// power-by-squaring count as ops/soa.top_triplet_soa and lowlink._host_triplet
+// — error decays like (l2/l1)^32), dominant right/left vectors, s0, QIM
+// target, and the rank-1 int8 delta — one pass per block, no intermediate
+// arrays.  The NumPy twin walks ~20 full-size temporaries per squaring; this
+// runs ~10x faster on the one host core and is the hot stage of the
+// zero-link workflow path.  s0 agrees with the NumPy twin to float noise,
+// which can only move a QIM target to a neighbouring *valid* centre for the
+// same bit (tests/test_native.py pins decision parity).
+
+namespace {
+
+// ops/soa._V0 ([1, 0.93, 1.08, 1.02] normalized), same f32 values
+const float kV0[4] = {0.4955781102180481f, 0.4608876407146454f,
+                      0.5352243781089783f, 0.5054896473884583f};
+
+// Dominant triplet of one 4x4 block: returns s0, fills u[4], v[4].
+inline float triplet4(const float x[16], float* u, float* v) {
+    const float eps = 1e-20f;
+    float g[16], h[16];
+    for (int a = 0; a < 4; ++a)
+        for (int b = a; b < 4; ++b) {
+            float s = x[0 * 4 + a] * x[0 * 4 + b];
+            for (int r = 1; r < 4; ++r) s += x[r * 4 + a] * x[r * 4 + b];
+            g[a * 4 + b] = s;
+            g[b * 4 + a] = s;
+        }
+    for (int it = 0; it < 5; ++it) {
+        float n2 = 0.f;
+        for (int i = 0; i < 16; ++i) n2 += g[i] * g[i];
+        float inv = 1.0f / std::max(std::sqrt(n2), eps);
+        for (int i = 0; i < 16; ++i) g[i] *= inv;
+        for (int i = 0; i < 4; ++i)
+            for (int j = 0; j < 4; ++j) {
+                float s = g[i * 4 + 0] * g[0 * 4 + j];
+                for (int k2 = 1; k2 < 4; ++k2) s += g[i * 4 + k2] * g[k2 * 4 + j];
+                h[i * 4 + j] = s;
+            }
+        std::memcpy(g, h, sizeof(g));
+    }
+    float vn2 = 0.f;
+    for (int i = 0; i < 4; ++i) {
+        float s = 0.f;
+        for (int j = 0; j < 4; ++j) s += g[i * 4 + j] * kV0[j];
+        v[i] = s;
+        vn2 += s * s;
+    }
+    float vn = std::sqrt(vn2);
+    if (vn > eps) {
+        for (int i = 0; i < 4; ++i) v[i] /= vn;
+    } else {
+        for (int i = 0; i < 4; ++i) v[i] = kV0[i];
+    }
+    float s0sq = 0.f;
+    for (int r = 0; r < 4; ++r) {
+        float s = 0.f;
+        for (int c = 0; c < 4; ++c) s += x[r * 4 + c] * v[c];
+        u[r] = s;
+        s0sq += s * s;
+    }
+    float s0 = std::sqrt(s0sq);
+    if (s0 > eps) {
+        for (int r = 0; r < 4; ++r) u[r] /= s0;
+    } else {
+        u[0] = 1.f;
+        u[1] = u[2] = u[3] = 0.f;
+    }
+    return s0;
+}
+
+}  // namespace
+
+// f16 LL [k, hc, wc] + per-plane block bits [P, nbh*nbw] (u8 0/1, blocks
+// row-major) -> int8 QIM LL delta [P, k, hc, wc] (fixed-point /8), matching
+// lowlink.host_dll.  blk is fixed at 4 (the flagship's only block size).
+void vfpio_qim_dll(const _Float16* ll, const unsigned char* bits,
+                   signed char* out, long P, long k, long hc, long wc,
+                   float scale) {
+    const long nbh = hc / 4, nbw = wc / 4, nb = nbh * nbw;
+    std::memset(out, 0, (size_t)(P * k * hc * wc));
+    for (long f = 0; f < k; ++f) {
+        const _Float16* lf = ll + f * hc * wc;
+        for (long bi = 0; bi < nbh; ++bi)
+            for (long bj = 0; bj < nbw; ++bj) {
+                float x[16], u[4], v[4];
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c)
+                        x[r * 4 + c] = (float)lf[(bi * 4 + r) * wc + bj * 4 + c];
+                float s0 = triplet4(x, u, v);
+                float cell = std::floor(s0 / scale);
+                for (long p = 0; p < P; ++p) {
+                    float bit = (float)bits[p * nb + bi * nbw + bj];
+                    float ds = (cell + 0.25f + 0.5f * bit) * scale - s0;
+                    signed char* o =
+                        out + ((p * k + f) * hc + bi * 4) * wc + bj * 4;
+                    for (int r = 0; r < 4; ++r)
+                        for (int c = 0; c < 4; ++c) {
+                            float q = std::nearbyint(ds * u[r] * v[c] * 8.0f);
+                            q = q < -127.f ? -127.f : (q > 127.f ? 127.f : q);
+                            o[r * wc + c] = (signed char)q;
+                        }
+                }
+            }
+    }
+}
+
+// f16 LL [k, hc, wc] -> decoded bits u8 [k, nbh*nbw] (blocks row-major):
+// bit = (s0 mod scale) > scale/2, matching lowlink.host_extract_bits.
+void vfpio_qim_bits(const _Float16* ll, unsigned char* out,
+                    long k, long hc, long wc, float scale) {
+    const long nbh = hc / 4, nbw = wc / 4;
+    for (long f = 0; f < k; ++f) {
+        const _Float16* lf = ll + f * hc * wc;
+        unsigned char* of = out + f * nbh * nbw;
+        for (long bi = 0; bi < nbh; ++bi)
+            for (long bj = 0; bj < nbw; ++bj) {
+                float x[16], u[4], v[4];
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c)
+                        x[r * 4 + c] = (float)lf[(bi * 4 + r) * wc + bj * 4 + c];
+                float s0 = triplet4(x, u, v);
+                float m = std::fmod(s0, scale);
+                of[bi * nbw + bj] = (unsigned char)(m > scale * 0.5f);
+            }
     }
 }
 

@@ -263,12 +263,31 @@ def host_dll(ll16: np.ndarray, codec, chan: int,
     Same float association as the device path (s_new = (floor(s0/scale) +
     0.25 + 0.5*bit) * scale, delta assembled directly as ds*u*v^T), so
     decisions agree; s0 comes from the same squaring count as
-    ops.soa.top_triplet_soa(method='power')."""
+    ops.soa.top_triplet_soa(method='power').  Hot path is the C++ kernel
+    (native/vfpio.cpp vfpio_qim_dll: one pass per block, no temporaries,
+    ~10x the NumPy twin below on the one host core); blk != 4 or a missing
+    toolchain falls back to the NumPy path."""
     scale = float(codec.scales[chan])
     blk = codec.blk
     k, hc, wc = ll16.shape
     nbh, nbw = hc // blk, wc // blk
     rh, rw = nbh * blk, nbw * blk
+    lib = _native_reconstruct()
+    if lib is not None and blk == 4:
+        import ctypes
+
+        P = len(plane_bits)
+        nb = nbh * nbw
+        pb = np.ascontiguousarray(
+            (np.asarray(plane_bits)[:, :nb] > 0.5).astype(np.uint8))
+        llc = np.ascontiguousarray(ll16, np.float16)
+        out = np.empty((P, k, hc, wc), np.int8)
+        lib.vfpio_qim_dll(
+            llc.ctypes.data_as(ctypes.c_void_p),
+            pb.ctypes.data_as(ctypes.c_char_p),
+            out.ctypes.data_as(ctypes.c_char_p),
+            P, k, hc, wc, scale)
+        return out
     X = (ll16[:, :rh, :rw].astype(np.float32)
          .reshape(k, nbh, blk, nbw, blk)
          .transpose(0, 1, 3, 2, 4).reshape(-1, blk, blk))  # [k*nb, blk, blk]
@@ -290,11 +309,24 @@ def host_dll(ll16: np.ndarray, codec, chan: int,
 def host_extract_bits(ll16: np.ndarray, codec, chan: int,
                       capacity: int) -> np.ndarray:
     """Numpy twin of the extract fn: f16 LL [k, hc, wc] -> [k, capacity] f32
-    decoded bits (zero-padded past the block grid, like decode_yuv)."""
+    decoded bits (zero-padded past the block grid, like decode_yuv).  Hot
+    path is C++ (vfpio_qim_bits), same fallback rule as host_dll."""
     scale = float(codec.scales[chan])
     blk = codec.blk
     k, hc, wc = ll16.shape
     nbh, nbw = hc // blk, wc // blk
+    lib = _native_reconstruct()
+    if lib is not None and blk == 4:
+        import ctypes
+
+        llc = np.ascontiguousarray(ll16, np.float16)
+        raw = np.empty((k, nbh * nbw), np.uint8)
+        lib.vfpio_qim_bits(
+            llc.ctypes.data_as(ctypes.c_void_p),
+            raw.ctypes.data_as(ctypes.c_char_p),
+            k, hc, wc, scale)
+        return np.pad(raw.astype(np.float32),
+                      ((0, 0), (0, capacity - nbh * nbw)))
     X = (ll16[:, : nbh * blk, : nbw * blk].astype(np.float32)
          .reshape(k, nbh, blk, nbw, blk)
          .transpose(0, 1, 3, 2, 4).reshape(-1, blk, blk))
