@@ -650,6 +650,22 @@ def bench_leak_trace(quick):
     return out
 
 
+def bench_leak_trace_host(quick):
+    """Config 4b: leak trace over the zero-link host transport — extraction
+    is the trace hot loop, so wire='host' removes every link roundtrip."""
+    import os
+
+    prev = os.environ.get("VFP_LL_WIRE")
+    os.environ["VFP_LL_WIRE"] = "host"
+    try:
+        return bench_leak_trace(quick)
+    finally:
+        if prev is None:
+            del os.environ["VFP_LL_WIRE"]
+        else:
+            os.environ["VFP_LL_WIRE"] = prev
+
+
 def bench_concurrent_serve(quick):
     """Config 5: concurrent marking via the HTTP service."""
     import concurrent.futures
@@ -782,6 +798,7 @@ def main():
         ("hls_workflow", bench_hls_workflow),
         ("hls_workflow_host", bench_hls_workflow_host),
         ("leak_trace", bench_leak_trace),
+        ("leak_trace_host", bench_leak_trace_host),
         ("concurrent_serve", bench_concurrent_serve),
     ]:
         if wanted is not None and not any(s in name for s in wanted):
@@ -789,6 +806,7 @@ def main():
         fps_key = {"hls_workflow": "marked_frames_per_sec_incl_io",
                    "hls_workflow_host": "marked_frames_per_sec_incl_io",
                    "leak_trace": "trace_frames_per_sec_incl_io",
+                   "leak_trace_host": "trace_frames_per_sec_incl_io",
                    "concurrent_serve": "marked_frames_per_sec_incl_io"}.get(name)
         reps = args.repeat if (args.repeat > 1 and fps_key) else 1
         t0 = time.perf_counter()
