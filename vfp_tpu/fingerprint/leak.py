@@ -39,12 +39,20 @@ def select_copies(segment_copies_info: dict, marked_dir, pattern: str | None = N
 
 
 def concatenate_segments(segment_files, output_file):
-    """Splice segments into one file. ffmpeg: stream-copy concat (no
-    re-encode, reference behaviour); else frame-level splice through the
-    reader/writer stack (one lossy generation, like a screen-recorder leak)."""
+    """Splice segments into one file, stream-copy first (the reference's
+    ``-c copy`` behaviour, tests/generate_leak.py:126-136): ffmpeg concat for
+    .mp4 outputs, chunk-level MJPEG-AVI copy for .avi (io/avi.py — no
+    re-encode, no decode).  Anything else falls back to a frame-level splice
+    through the reader/writer stack (one lossy generation, like a
+    screen-recorder leak)."""
     if have_ffmpeg() and str(output_file).endswith(".mp4"):
         concat_mp4_ffmpeg(segment_files, output_file)
         return output_file
+    if str(output_file).endswith(".avi"):
+        from ..io.avi import splice_mjpeg_avis
+
+        if splice_mjpeg_avis(segment_files, output_file):
+            return output_file
     first = open_reader(segment_files[0])
     w, h, fps = first.width, first.height, first.fps
     first.close()

@@ -133,13 +133,17 @@ class MjpegAviWriter(FrameWriter):
             )
             if not ok:
                 raise IOError("JPEG encode failed")
-            data = enc.tobytes()
-            pad = len(data) % 2
-            off = self.f.tell() - self._movi_start + 4  # offset from 'movi' fourcc
-            self.f.write(b"00dc" + struct.pack("<I", len(data)) + data + b"\x00" * pad)
-            self._index.append((off, len(data)))
-            self._nframes += 1
-            self._max_chunk = max(self._max_chunk, len(data))
+            self.write_encoded(enc.tobytes())
+
+    def write_encoded(self, data: bytes):
+        """Append one already-encoded JPEG as a frame chunk (the stream-copy
+        path: io/avi.py splice copies compressed frames with no re-encode)."""
+        pad = len(data) % 2
+        off = self.f.tell() - self._movi_start + 4  # offset from 'movi' fourcc
+        self.f.write(b"00dc" + struct.pack("<I", len(data)) + data + b"\x00" * pad)
+        self._index.append((off, len(data)))
+        self._nframes += 1
+        self._max_chunk = max(self._max_chunk, len(data))
 
     def close(self):
         if self.f.closed:
