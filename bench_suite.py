@@ -594,8 +594,8 @@ def bench_hls_workflow(quick):
     }
 
 
-def bench_hls_workflow_host(quick):
-    """Config 3b: the same workflow over the zero-link host transport
+def _with_host_wire(fn, quick):
+    """Run a workflow config over the zero-link host transport
     (wire='host', pipeline/lowlink.py) — the outage fallback and, behind
     this container's relay, the faster end-to-end path (no link traffic,
     no per-call relay tax, no run-to-run link variance)."""
@@ -604,12 +604,17 @@ def bench_hls_workflow_host(quick):
     prev = os.environ.get("VFP_LL_WIRE")
     os.environ["VFP_LL_WIRE"] = "host"
     try:
-        return bench_hls_workflow(quick)
+        return fn(quick)
     finally:
         if prev is None:
             del os.environ["VFP_LL_WIRE"]
         else:
             os.environ["VFP_LL_WIRE"] = prev
+
+
+def bench_hls_workflow_host(quick):
+    """Config 3b: hls_workflow over wire='host'."""
+    return _with_host_wire(bench_hls_workflow, quick)
 
 
 def bench_leak_trace(quick):
@@ -651,19 +656,9 @@ def bench_leak_trace(quick):
 
 
 def bench_leak_trace_host(quick):
-    """Config 4b: leak trace over the zero-link host transport — extraction
-    is the trace hot loop, so wire='host' removes every link roundtrip."""
-    import os
-
-    prev = os.environ.get("VFP_LL_WIRE")
-    os.environ["VFP_LL_WIRE"] = "host"
-    try:
-        return bench_leak_trace(quick)
-    finally:
-        if prev is None:
-            del os.environ["VFP_LL_WIRE"]
-        else:
-            os.environ["VFP_LL_WIRE"] = prev
+    """Config 4b: leak trace over wire='host' — extraction is the trace
+    hot loop, so the host wire removes every link roundtrip."""
+    return _with_host_wire(bench_leak_trace, quick)
 
 
 def bench_concurrent_serve(quick):

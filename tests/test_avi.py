@@ -98,3 +98,16 @@ class TestLeakStreamCopy:
         out = concatenate_segments(segs, tmp_path / "leak.avi")
         want = [c for s in segs for c in iter_video_chunks(s)]
         assert list(iter_video_chunks(out)) == want
+
+    def test_splice_falls_back_on_truncated_movi(self, tmp_path, rng):
+        """avi_meta cannot pre-validate movi (it skips it wholesale), so a
+        mid-splice truncation must return False (frame-level fallback) and
+        leave no partial output."""
+        frames = rng.randint(0, 256, (4, 48, 64, 3), np.uint8)
+        p = tmp_path / "t.avi"
+        _write_avi(p, frames)
+        data = p.read_bytes()
+        p.write_bytes(data[: len(data) // 2])  # cut inside movi
+        out = tmp_path / "o.avi"
+        assert splice_mjpeg_avis([p], out) is False
+        assert not out.exists()

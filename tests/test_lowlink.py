@@ -367,6 +367,7 @@ class TestU8Wire:
         monkeypatch.delenv("VFP_LL_WIRE", raising=False)
         monkeypatch.delenv("VFP_LOWLINK", raising=False)
         monkeypatch.setattr(lowlink, "_BACKEND_OK", False)
+        monkeypatch.setattr(lowlink, "_PROBE_RESULT", [])  # probe still hung
         assert lowlink.default_wire() == "host"
         assert use_lowlink(DwtDctSvd()) is True
         monkeypatch.setattr(lowlink, "_BACKEND_OK", True)
@@ -394,3 +395,37 @@ class TestU8Wire:
             for b in bits:
                 np.testing.assert_array_equal(
                     deg.degenerate(b), payload_for_segment(1, v))
+
+
+class TestWireAwareCaches:
+    def test_cached_bit_extractor_keyed_by_wire(self, monkeypatch):
+        """A wire change mid-process (bench _host entries, outage recovery)
+        must not reuse an extractor bound to the previous wire."""
+        from vfp_tpu.pipeline.extractor import cached_bit_extractor
+
+        codec = DwtDctSvd()
+        monkeypatch.setenv("VFP_LOWLINK", "1")
+        monkeypatch.setenv("VFP_LL_WIRE", "u8")
+        a = cached_bit_extractor(codec, 0, 8)
+        assert a._ll is not None and a._ll.wire == "u8"
+        monkeypatch.setenv("VFP_LL_WIRE", "host")
+        b = cached_bit_extractor(codec, 0, 8)
+        assert b is not a and b._ll.wire == "host"
+        monkeypatch.setenv("VFP_LL_WIRE", "u8")
+        assert cached_bit_extractor(codec, 0, 8) is a
+
+    def test_default_wire_rejects_typo(self, monkeypatch):
+        from vfp_tpu.pipeline.lowlink import default_wire
+
+        monkeypatch.setenv("VFP_LL_WIRE", "hostonly")
+        with pytest.raises(ValueError, match="VFP_LL_WIRE"):
+            default_wire()
+
+    def test_probe_upgrade_after_straggler_success(self, monkeypatch):
+        """A slow-but-alive backend is not conflated with a dead one: when
+        the daemon probe finishes after the timeout, the verdict upgrades."""
+        from vfp_tpu.pipeline import lowlink
+
+        monkeypatch.setattr(lowlink, "_BACKEND_OK", False)
+        monkeypatch.setattr(lowlink, "_PROBE_RESULT", [True])
+        assert lowlink.backend_reachable() is True

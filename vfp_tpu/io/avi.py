@@ -47,7 +47,7 @@ def avi_meta(path) -> dict:
                 kind = _read_exact(f, 4)
                 if kind in (b"hdrl", b"strl"):
                     continue  # descend
-                f.seek(size - 4, 1)  # skip movi/odml wholesale
+                f.seek(size - 4 + (size & 1), 1)  # skip movi/odml + pad
             elif fourcc == b"avih":
                 body = _read_exact(f, size + (size & 1))
                 vals = struct.unpack("<14I", body[:56])
@@ -127,6 +127,13 @@ def splice_mjpeg_avis(segment_files, output_file) -> bool:
         for p in segment_files:
             for chunk in iter_video_chunks(p):
                 out.write_encoded(chunk)
+    except (IOError, struct.error):
+        # truncated movi data mid-splice (avi_meta skips movi wholesale, so
+        # it cannot pre-validate it): remove the partial output and let the
+        # caller fall back to the frame-level splice
+        out.close()
+        Path(output_file).unlink(missing_ok=True)
+        return False
     finally:
         out.close()
     if out._nframes == 0:

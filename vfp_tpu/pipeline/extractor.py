@@ -71,7 +71,6 @@ class FrameExtractor:
         return np.asarray(self._fn(frames))[:k]
 
 
-@lru_cache(maxsize=64)
 def cached_bit_extractor(codec, key, payload_len: int, batch_size: int = 16,
                          threshold: str = "fixed") -> "FrameExtractor":
     """Memoized FrameExtractor for bit payloads.
@@ -79,8 +78,23 @@ def cached_bit_extractor(codec, key, payload_len: int, batch_size: int = 16,
     Workflow loops (per-segment verify/trace, the /detect endpoint) used to
     build a fresh FrameExtractor — and therefore a fresh jit closure to
     re-trace — for every segment; the underlying executable is a pure
-    function of (codec, key, payload_len, batch, threshold), so share it.
+    function of (codec, key, payload_len, batch, threshold) AND the resolved
+    transport wire (an extractor binds its wire at construction, so a wire
+    change mid-process — e.g. the bench suite's _host entries, or the
+    outage fallback upgrading back to the device — must not reuse a stale
+    one).
     """
+    from .embedder import use_lowlink
+    from .lowlink import default_wire
+
+    wire = default_wire() if use_lowlink(codec) else None
+    return _cached_bit_extractor(codec, key, payload_len, batch_size,
+                                 threshold, wire)
+
+
+@lru_cache(maxsize=64)
+def _cached_bit_extractor(codec, key, payload_len: int, batch_size: int,
+                          threshold: str, wire) -> "FrameExtractor":
     from ..wm import DeShuffler
 
     deg = DeShuffler(key=key, threshold=threshold).set_shape((payload_len,))

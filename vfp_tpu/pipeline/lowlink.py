@@ -35,6 +35,7 @@ DLL_Q = 8.0  # int8 fixed-point scale: |dll| < 15 => |q| <= 120 < 127
 
 
 _BACKEND_OK: bool | None = None
+_PROBE_RESULT: list = []  # the daemon probe appends here when it finishes
 
 
 def backend_reachable() -> bool:
@@ -43,32 +44,37 @@ def backend_reachable() -> bool:
     Backend init on a dead relay/tunnel BLOCKS FOREVER (no timeout inside
     jax), so the probe runs in a daemon thread bounded by
     VFP_BACKEND_PROBE_S (default 30 s; healthy init is ~1 s, the axon
-    tunnel a few more).  The verdict is cached for the process: a workflow
-    never pays the probe twice, and a dead backend stays dead."""
+    tunnel a few more).  The verdict is cached — a workflow never pays the
+    probe twice — but a SLOW backend is not conflated with a dead one: the
+    daemon thread keeps running, and if it eventually succeeds, later calls
+    upgrade the verdict to True (long-lived processes like the serve
+    service recover the device path without a restart; already-constructed
+    markers keep the wire they bound)."""
     global _BACKEND_OK
     if _BACKEND_OK is None:
-        import logging
         import threading
-
-        res: list = []
 
         def _probe():
             try:
                 import jax
 
                 jax.devices()
-                res.append(True)
+                _PROBE_RESULT.append(True)
             except Exception:  # pragma: no cover - backend-specific failures
-                res.append(False)
+                _PROBE_RESULT.append(False)
 
         t = threading.Thread(target=_probe, daemon=True)
         t.start()
         t.join(float(os.environ.get("VFP_BACKEND_PROBE_S", "30")))
-        _BACKEND_OK = bool(res and res[0])
+        _BACKEND_OK = bool(_PROBE_RESULT and _PROBE_RESULT[0])
         if not _BACKEND_OK:
+            import logging
+
             logging.getLogger(__name__).warning(
                 "JAX backend unreachable (probe timed out) — flagship "
                 "transport falling back to wire='host' (zero device use)")
+    elif not _BACKEND_OK and _PROBE_RESULT and _PROBE_RESULT[0]:
+        _BACKEND_OK = True  # the straggler probe finished: backend is alive
     return _BACKEND_OK
 
 
@@ -95,6 +101,9 @@ def default_wire() -> str:
     """
     wire = os.environ.get("VFP_LL_WIRE")
     if wire:
+        if wire not in ("u8", "f16", "host"):
+            raise ValueError(
+                f"VFP_LL_WIRE={wire!r}: expected 'u8', 'f16' or 'host'")
         return wire
     return "u8" if backend_reachable() else "host"
 
@@ -272,6 +281,11 @@ def host_dll(ll16: np.ndarray, codec, chan: int,
     k, hc, wc = ll16.shape
     nbh, nbw = hc // blk, wc // blk
     rh, rw = nbh * blk, nbw * blk
+    if np.asarray(plane_bits).shape[-1] < nbh * nbw:
+        raise ValueError(
+            f"plane_bits cover {np.asarray(plane_bits).shape[-1]} blocks, "
+            f"frame grid has {nbh * nbw} — watermark generated for a "
+            "smaller geometry than the frames being marked")
     lib = _native_reconstruct()
     if lib is not None and blk == 4:
         import ctypes
