@@ -18,5 +18,11 @@ mkdir -p /tmp/chip_session
   timeout 2400 python tools/bench_fastdots.py 2>&1
   echo "--- intpath A/B ---"
   timeout 2400 python tools/bench_intpath.py 2>&1
+  echo "--- wire A/B: hls_workflow over the relay, f16 vs u8 (host is in the suite) ---"
+  timeout 1200 env VFP_LL_WIRE=f16 python bench_suite.py --only hls_workflow 2>&1 | tail -3
+  timeout 1200 env VFP_LL_WIRE=u8 python bench_suite.py --only hls_workflow 2>&1 | tail -3
   echo "=== A/Bs done $(date -u +%FT%TZ) — decide defaults before the suite ==="
+  echo "    then: python bench_suite.py --repeat 3   (refreshes ALL entries,"
+  echo "    incl. hls_workflow_host / leak_trace_host), then python bench.py,"
+  echo "    then refresh the numbers in CLAUDE.md / DESIGN.md / README.md"
 } 2>&1 | tee /tmp/chip_session/ab.log
