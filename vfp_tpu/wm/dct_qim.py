@@ -99,7 +99,9 @@ class DctQim:
     # single-bf16-pass kernel matmuls (kernels/fused_dct_qim._dot) — fewer
     # MXU passes; decision-equivalent (masks recomputed identically on both
     # sides, coefficient noise << step/2 margin; TestFastDctQim pins it).
-    # Default off until the on-chip A/B shows the win.
+    # Chip A/B (tools/bench_fastdots.py, v5e @1080p): 3686->3715 mark /
+    # 3307->3312 extract fps — within run noise, so the exact (HIGHEST
+    # precision) default stays; the codec is launch/VPU-bound, not MXU-bound.
     fast_dots: bool = False
 
     def wm_capacity(self, frame_shape):

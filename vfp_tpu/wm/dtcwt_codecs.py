@@ -71,7 +71,10 @@ class _DtcwtBase:
     # rounding on the tree coefficients — far below the quantized-mask and
     # correlation-threshold noise these codecs decode through).  The codec is
     # a static jit arg, so both modes compile and cache independently.
-    fast_dots: bool = False
+    # Default ON after the chip A/B (tools/bench_fastdots.py, v5e @1080p):
+    # mark 1079->1178 / extract 1114->1270 fps (DtcwtKey), 1081->1186 /
+    # 1113->1275 (DtcwtImg), detection correlations identical to 3 decimals.
+    fast_dots: bool = True
 
     def wm_capacity(self, frame_shape):
         return infer_wm_shape(frame_shape)

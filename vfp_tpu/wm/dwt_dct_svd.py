@@ -79,8 +79,9 @@ class DwtDctSvd:
     # replaces the u8<->i32<->f32 cast chain (47% of the kernel per the
     # per-op profile) with fixed-point i32 MACs.  Decode decisions are
     # bit-identical; marked pixels stay in the documented borderline-.5
-    # class.  Default off until the on-chip A/B (tools/bench_intpath.py)
-    # shows the win.
+    # class.  Chip A/B (tools/bench_intpath.py, v5e @1080p): f32 15494 mark /
+    # 20204 extract vs int 15113 / 20552 fps — a wash (the cast chain fuses
+    # into the same VPU passes either way), so the simpler f32 path stays.
     int_path: bool = False
 
     def _use_pallas(self) -> bool:
