@@ -133,6 +133,44 @@ class TestNativeReconstruct:
         np.testing.assert_array_equal(got, want)
 
 
+class TestNativeRecentre:
+    @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
+    def test_recentre_matches_numpy(self, rng):
+        """vfpio_recentre vs the einsum fallback: same f32 formulas per
+        block (sequential vs pairwise accumulation over 16 terms), so at
+        most a 1-step int8 rint difference on a half-way tie — on random
+        input the outputs are byte-identical, asserted to <=1 with an
+        exactness floor.  Covers: big-block rescale, small blocks routed
+        through _repair_small_blocks in BOTH modes, odd frame dims (tail
+        rows/cols pass through as the input bytes)."""
+        from vfp_tpu.pipeline import lowlink
+
+        P, k, hc, wc, blk = 3, 4, 117, 163, 4
+        dll = rng.randint(-100, 100, (P, k, hc, wc)).astype(np.int8)
+        dll[:, :, :16, :16] = rng.randint(-2, 2, (P, k, 16, 16)).astype(
+            np.int8)  # below the WIRE_DU_MIN floor -> exact repair path
+        E = rng.randn(k, hc, wc).astype(np.float32) * 0.1
+        ll16 = (rng.rand(k, hc, wc) * 255).astype(np.float16)
+        bits = rng.randint(0, 2, (P, (hc // blk) * (wc // blk))).astype(
+            np.float32)
+        assert lowlink._native_reconstruct() is not None
+        got = lowlink.recentre_dll(dll, E, ll16, blk, 45.0, bits)
+        orig = lowlink._native_reconstruct
+        lowlink._native_reconstruct = lambda: None
+        try:
+            want = lowlink.recentre_dll(dll, E, ll16, blk, 45.0, bits)
+        finally:
+            lowlink._native_reconstruct = orig
+        d = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert d.max() <= 1
+        assert (d == 0).mean() > 0.9999
+        # tail rows/cols beyond the block grid are the input, bit-exact
+        np.testing.assert_array_equal(got[:, :, hc - hc % blk:],
+                                      dll[:, :, hc - hc % blk:])
+        np.testing.assert_array_equal(got[:, :, :, wc - wc % blk:],
+                                      dll[:, :, :, wc - wc % blk:])
+
+
 class TestNativeQim:
     @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
     def test_qim_dll_matches_numpy(self, rng):

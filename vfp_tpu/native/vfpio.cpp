@@ -444,6 +444,59 @@ void vfpio_qim_bits(const _Float16* ll, unsigned char* out,
     }
 }
 
+// u8-wire recentring, big-block fast path (lowlink.recentre_dll): for each
+// blk x blk block of the int8 wire delta q (fixed-point x qscale), compute
+// num = <q, E>, den = ||q||^2 and rescale the block by
+// alpha = 1 - qscale*num/den (first-order recentring of the marked s0 onto
+// its QIM cell centre; derivation in lowlink.py's recentre block comment).
+// Blocks whose delta is below the direction-recovery floor
+// (den/qscale^2 < du_min^2) are left at their input values and flagged in
+// small_mask [P, k, nbh, nbw] for the caller's exact-triplet repair path.
+// out must enter as a copy of q (rows/cols beyond nbh*blk/nbw*blk pass
+// through untouched).  nearbyint under the default FP environment matches
+// np.rint (round-half-even).
+void vfpio_recentre(const signed char* q, const float* E, signed char* out,
+                    unsigned char* small_mask, long P, long k, long hc,
+                    long wc, long blk, float qscale, float du_min) {
+    const long nbh = hc / blk, nbw = wc / blk;
+    const float den_floor = du_min * du_min * qscale * qscale;
+    for (long p = 0; p < P; ++p)
+        for (long f = 0; f < k; ++f) {
+            const signed char* qf = q + (p * k + f) * hc * wc;
+            signed char* of = out + (p * k + f) * hc * wc;
+            const float* Ef = E + f * hc * wc;
+            unsigned char* sm = small_mask + (p * k + f) * nbh * nbw;
+            for (long bi = 0; bi < nbh; ++bi)
+                for (long bj = 0; bj < nbw; ++bj) {
+                    const long r0 = bi * blk, c0 = bj * blk;
+                    float num = 0.f, den = 0.f;
+                    for (long r = 0; r < blk; ++r) {
+                        const signed char* qr = qf + (r0 + r) * wc + c0;
+                        const float* er = Ef + (r0 + r) * wc + c0;
+                        for (long c = 0; c < blk; ++c) {
+                            const float v = (float)qr[c];
+                            num += v * er[c];
+                            den += v * v;
+                        }
+                    }
+                    if (den < den_floor) {
+                        sm[bi * nbw + bj] = 1;
+                        continue;
+                    }
+                    const float alpha = 1.0f - qscale * num / den;
+                    for (long r = 0; r < blk; ++r) {
+                        const signed char* qr = qf + (r0 + r) * wc + c0;
+                        signed char* orow = of + (r0 + r) * wc + c0;
+                        for (long c = 0; c < blk; ++c) {
+                            float w = std::nearbyint((float)qr[c] * alpha);
+                            w = w < -127.f ? -127.f : (w > 127.f ? 127.f : w);
+                            orow[c] = (signed char)w;
+                        }
+                    }
+                }
+        }
+}
+
 int vfpio_writer_close(void* h) {
     auto* w = static_cast<Writer*>(h);
     {

@@ -213,41 +213,84 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
 
     dll_q [P, k, hc, wc] int8, E / ll16 [k, hc, wc], plane_bits [P, >=nb]
     (each plane's per-block bit, row-major blocks).  Returns corrected int8.
+
+    The big-block rescale (all but ~2*WIRE_DU_MIN/scale of blocks) runs in
+    the native DLL when available (vfpio_recentre: one fused int8 pass, no
+    float temporaries — this was the largest single host stage of the
+    u8-wire collect, ~3.9 ms/frame of numpy 6-d transposes at 480p).  Small
+    blocks (direction unrecoverable from the wire) are repaired either way
+    by _repair_small_blocks with the exact host triplet.
     """
     P, k, hc, wc = dll_q.shape
     nbh, nbw = hc // blk, wc // blk
+    lib = _native_reconstruct()
+    if lib is not None and hasattr(lib, "vfpio_recentre"):
+        import ctypes
+
+        qc = np.ascontiguousarray(dll_q)
+        Ec = np.ascontiguousarray(E, np.float32)
+        out = qc.copy()
+        small = np.zeros((P, k, nbh, nbw), np.uint8)
+        lib.vfpio_recentre(
+            qc.ctypes.data_as(ctypes.c_char_p),
+            Ec.ctypes.data_as(ctypes.c_void_p),
+            out.ctypes.data_as(ctypes.c_char_p),
+            small.ctypes.data_as(ctypes.c_char_p),
+            P, k, hc, wc, blk,
+            ctypes.c_float(DLL_Q), ctypes.c_float(WIRE_DU_MIN),
+        )
+        smb = small.astype(bool)
+        if smb.any():
+            _repair_small_blocks(out, smb, ll16, blk, scale, plane_bits)
+        return out
+    # numpy fallback: einsum over blocked *views* — no 6-d transpose
+    # materialization (the previous .transpose().sum() form cost ~35% more)
     rh, rw = nbh * blk, nbw * blk
-    db = (dll_q[:, :, :rh, :rw].astype(np.float32)
-          .reshape(P, k, nbh, blk, nbw, blk)
-          .transpose(0, 1, 2, 4, 3, 5)) * np.float32(1.0 / DLL_Q)
-    Eb = (E[:, :rh, :rw].reshape(k, nbh, blk, nbw, blk)
-          .transpose(0, 1, 3, 2, 4))
-    num = (db * Eb).sum((-2, -1))  # [P, k, nbh, nbw]  <dll, E>
-    den = (db * db).sum((-2, -1))  # ||dll||_F^2
+    db = dll_q[:, :, :rh, :rw].astype(np.float32)
+    db *= np.float32(1.0 / DLL_Q)
+    dv = db.reshape(P, k, nbh, blk, nbw, blk)
+    Ev = np.ascontiguousarray(E[:, :rh, :rw], np.float32).reshape(
+        k, nbh, blk, nbw, blk)
+    num = np.einsum("pkabcd,kabcd->pkac", dv, Ev)   # <dll, E>
+    den = np.einsum("pkabcd,pkabcd->pkac", dv, dv)  # ||dll||_F^2
     big = den >= WIRE_DU_MIN * WIRE_DU_MIN
-    alpha = np.where(big, 1.0 - num / np.maximum(den, 1e-12), 1.0)
-    db *= alpha[..., None, None].astype(np.float32)
-    small = ~big
-    if small.any():
-        ki, ii, ji = np.nonzero(small.any(0))
-        Xb = (ll16[:, :rh, :rw].astype(np.float32)
-              .reshape(k, nbh, blk, nbw, blk)
-              .transpose(0, 1, 3, 2, 4))[ki, ii, ji]  # [m, blk, blk]
-        s0, u, v = _host_triplet(Xb)
-        base = np.floor(s0 / scale) + 0.25
-        for p in range(P):
-            sel = small[p, ki, ii, ji]
-            if not sel.any():
-                continue
-            bit = plane_bits[p].reshape(-1)[ii[sel] * nbw + ji[sel]]
-            ds = (base[sel] + 0.5 * bit.astype(np.float32)) * scale - s0[sel]
-            db[p, ki[sel], ii[sel], ji[sel]] = (
-                ds[:, None, None] * u[sel][:, :, None] * v[sel][:, None, :])
+    alpha = np.where(big, 1.0 - num / np.maximum(den, 1e-12),
+                     1.0).astype(np.float32)
+    db *= np.repeat(np.repeat(alpha, blk, axis=2), blk, axis=3)
+    db *= np.float32(DLL_Q)
     out = dll_q.copy()
-    out[:, :, :rh, :rw] = np.clip(
-        np.rint(db.transpose(0, 1, 2, 4, 3, 5).reshape(P, k, rh, rw) * DLL_Q),
-        -127, 127).astype(np.int8)
+    out[:, :, :rh, :rw] = np.clip(np.rint(db), -127, 127).astype(np.int8)
+    if not big.all():
+        _repair_small_blocks(out, ~big, ll16, blk, scale, plane_bits)
     return out
+
+
+def _repair_small_blocks(out: np.ndarray, small: np.ndarray,
+                         ll16: np.ndarray, blk: int, scale: float,
+                         plane_bits: np.ndarray) -> None:
+    """Recompute below-floor blocks' wire deltas from the TRUE LL, in place.
+
+    out [P, k, hc, wc] int8 wire units; small [P, k, nbh, nbw] bool."""
+    P, k, nbh, nbw = small.shape
+    rh, rw = nbh * blk, nbw * blk
+    ki, ii, ji = np.nonzero(small.any(0))
+    Xb = (ll16[:, :rh, :rw].astype(np.float32)
+          .reshape(k, nbh, blk, nbw, blk)
+          .transpose(0, 1, 3, 2, 4))[ki, ii, ji]  # [m, blk, blk]
+    s0, u, v = _host_triplet(Xb)
+    base = np.floor(s0 / scale) + 0.25
+    for p in range(P):
+        sel = small[p, ki, ii, ji]
+        if not sel.any():
+            continue
+        bit = plane_bits[p].reshape(-1)[ii[sel] * nbw + ji[sel]]
+        ds = (base[sel] + 0.5 * bit.astype(np.float32)) * scale - s0[sel]
+        blocks = np.clip(np.rint(
+            (ds[:, None, None] * u[sel][:, :, None] * v[sel][:, None, :])
+            * np.float32(DLL_Q)), -127, 127).astype(np.int8)
+        for t, (kk, aa, cc) in enumerate(zip(ki[sel], ii[sel], ji[sel])):
+            out[p, kk, aa * blk:(aa + 1) * blk,
+                cc * blk:(cc + 1) * blk] = blocks[t]
 
 
 # -- host-only transport (wire='host') ----------------------------------------
