@@ -312,6 +312,44 @@ class TestU8Wire:
         # every block decodes its own bit back: inside the margin
         assert off_u8.max() <= scale / 4 + 1e-3
 
+    def test_flat_chroma_survives_lossy_encode(self, rng):
+        """Regression: flat-chroma content (grayscale video: U LL constant
+        1.0, the reference fixture clip's exact condition) quantizes to
+        ALL-ZERO wire bytes (round-half-even of 0.5), so the device's SVD
+        direction was the dither pattern itself — recentring fixed the
+        magnitude (clean decode passed) but the delta's energy sat in high
+        spatial frequencies, which MJPEG/JPEG chroma quantization wipes:
+        measured 2-35% post-encode raw bit errors vs 0% for the exact path.
+        The WIRE_DIR_GAMMA2 gate now repairs direction-unreliable blocks
+        from the TRUE LL, making the u8-marked frames byte-identical to the
+        exact host path on such content — and hence equally durable."""
+        import cv2
+
+        codec = DwtDctSvd()
+        g = (rng.rand(4, 240, 320, 1) * 30 + 100).astype(np.uint8)
+        frames = np.repeat(g, 3, axis=3)  # B=G=R: U LL == 1.0 everywhere
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [jnp.asarray(rng.randint(0, 2, cap), jnp.float32)
+               for _ in range(3)]
+        m_u8 = LowLinkMarker(codec, wms, batch_size=4, wire="u8")
+        m_host = LowLinkMarker(codec, wms, batch_size=4, wire="host")
+        got = m_u8.mark_all(frames)
+        np.testing.assert_array_equal(got, m_host.mark_all(frames))
+        # and the mark survives JPEG-95 (DC-direction delta on flat chroma):
+        # the ungated wire measured 2-35% raw bit errors here; the exact
+        # path's residual is the odd rounding-borderline block, not a rate
+        nb = (240 // 8) * (320 // 8)
+        for v in range(3):
+            want = np.asarray(wms[v])[:nb]
+            errs = []
+            for f in got[v]:
+                _, enc = cv2.imencode(".jpg", f,
+                                      [cv2.IMWRITE_JPEG_QUALITY, 95])
+                bits = np.asarray(codec.extract_frames(
+                    jnp.asarray(cv2.imdecode(enc, 1)[None])))[0]
+                errs.append(float(np.mean(bits[:nb] != want)))
+            assert max(errs) < 0.005, errs
+
     def test_host_wire_decision_parity_and_no_jax(self, rng):
         """wire='host' (the zero-link fallback: numpy twin of the device
         program) — raw decode decisions match the exact full-frame path,

@@ -95,16 +95,16 @@ def _load_vfpio_uncached():
         ctypes.c_long, ctypes.c_long, ctypes.c_long,
         ctypes.c_float,
     ]
-    try:  # absent from pre-round-3 prebuilt .so files (no g++ to rebuild):
+    try:  # absent from older prebuilt .so files (no g++ to rebuild):
         # callers hasattr-gate on it, so a missing symbol must not poison
         # the loader for the symbols that DO exist
-        lib.vfpio_recentre.restype = None
-        lib.vfpio_recentre.argtypes = [
-            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p,
-            ctypes.c_char_p,
+        lib.vfpio_recentre2.restype = None
+        lib.vfpio_recentre2.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p,
             ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
             ctypes.c_long,
-            ctypes.c_float, ctypes.c_float,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ]
     except AttributeError:  # pragma: no cover - depends on .so vintage
         pass

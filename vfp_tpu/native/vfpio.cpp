@@ -450,25 +450,57 @@ void vfpio_qim_bits(const _Float16* ll, unsigned char* out,
 // alpha = 1 - qscale*num/den (first-order recentring of the marked s0 onto
 // its QIM cell centre; derivation in lowlink.py's recentre block comment).
 // Blocks whose delta is below the direction-recovery floor
-// (den/qscale^2 < du_min^2) are left at their input values and flagged in
-// small_mask [P, k, nbh, nbw] for the caller's exact-triplet repair path.
-// out must enter as a copy of q (rows/cols beyond nbh*blk/nbw*blk pass
-// through untouched).  nearbyint under the default FP environment matches
-// np.rint (round-half-even).
-void vfpio_recentre(const signed char* q, const float* E, signed char* out,
-                    unsigned char* small_mask, long P, long k, long hc,
-                    long wc, long blk, float qscale, float du_min) {
+// (den/qscale^2 < du_min^2), or whose TRUE-LL content X fails the
+// direction-reliability gate AC(X) < gamma2 * AC(E) (device direction =
+// dither pattern; its delta would die in lossy chroma coding), are left at
+// their input values and flagged in small_mask [P, k, nbh, nbw] for the
+// caller's exact-triplet repair path.  out must enter as a copy of q
+// (rows/cols beyond nbh*blk/nbw*blk pass through untouched).  nearbyint
+// under the default FP environment matches np.rint (round-half-even).
+// ("2" suffix: the gate added an ABI-incompatible X/gamma2 — callers
+// hasattr-gate, so a stale prebuilt .so falls back to the gated NumPy path
+// instead of silently running ungated.)
+void vfpio_recentre2(const signed char* q, const float* E, const float* X,
+                     signed char* out, unsigned char* small_mask, long P,
+                     long k, long hc, long wc, long blk, float qscale,
+                     float du_min, float gamma2) {
     const long nbh = hc / blk, nbw = wc / blk;
     const float den_floor = du_min * du_min * qscale * qscale;
-    for (long p = 0; p < P; ++p)
-        for (long f = 0; f < k; ++f) {
-            const signed char* qf = q + (p * k + f) * hc * wc;
-            signed char* of = out + (p * k + f) * hc * wc;
-            const float* Ef = E + f * hc * wc;
-            unsigned char* sm = small_mask + (p * k + f) * nbh * nbw;
-            for (long bi = 0; bi < nbh; ++bi)
-                for (long bj = 0; bj < nbw; ++bj) {
-                    const long r0 = bi * blk, c0 = bj * blk;
+    const float inv_n = 1.0f / (float)(blk * blk);
+    for (long f = 0; f < k; ++f) {
+        const float* Ef = E + f * hc * wc;
+        const float* Xf = X ? X + f * hc * wc : nullptr;
+        for (long bi = 0; bi < nbh; ++bi)
+            for (long bj = 0; bj < nbw; ++bj) {
+                const long r0 = bi * blk, c0 = bj * blk;
+                // direction-reliability gate (lowlink.WIRE_DIR_GAMMA2):
+                // when the content's AC energy is dominated by the wire
+                // error's, the device direction is the dither pattern's —
+                // flag for the caller's exact-triplet repair (p-independent)
+                bool flat = false;
+                if (Xf) {
+                    float sx = 0.f, sx2 = 0.f, se = 0.f, se2 = 0.f;
+                    for (long r = 0; r < blk; ++r) {
+                        const float* xr = Xf + (r0 + r) * wc + c0;
+                        const float* er = Ef + (r0 + r) * wc + c0;
+                        for (long c = 0; c < blk; ++c) {
+                            sx += xr[c];
+                            sx2 += xr[c] * xr[c];
+                            se += er[c];
+                            se2 += er[c] * er[c];
+                        }
+                    }
+                    flat = (sx2 - sx * sx * inv_n)
+                           < gamma2 * (se2 - se * se * inv_n);
+                }
+                for (long p = 0; p < P; ++p) {
+                    const signed char* qf = q + (p * k + f) * hc * wc;
+                    signed char* of = out + (p * k + f) * hc * wc;
+                    unsigned char* sm = small_mask + (p * k + f) * nbh * nbw;
+                    if (flat) {
+                        sm[bi * nbw + bj] = 1;
+                        continue;
+                    }
                     float num = 0.f, den = 0.f;
                     for (long r = 0; r < blk; ++r) {
                         const signed char* qr = qf + (r0 + r) * wc + c0;
@@ -494,7 +526,8 @@ void vfpio_recentre(const signed char* q, const float* E, signed char* out,
                         }
                     }
                 }
-        }
+            }
+    }
 }
 
 int vfpio_writer_close(void* h) {

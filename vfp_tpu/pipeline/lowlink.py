@@ -175,6 +175,35 @@ def _wire_decode(llw, chan: int):
 
 WIRE_DU_MIN = 0.5  # ||dll||_F (= |du|) below which the rescale is noise
 
+# Direction-reliability gate: the device's singular direction comes from the
+# QUANTIZED block X - E, so when the content's own AC structure is comparable
+# to the wire error's, the direction it finds is the *dither pattern's* (high
+# spatial frequency), not the content's.  The rescale can centre s0 along that
+# wrong direction — frame-level decode passes — but lossy chroma coding
+# (MJPEG/H.264 quantizes HF chroma to zero) then wipes the delta entirely,
+# while the exact path's delta on flat content is DC and survives.  (Worst
+# case observed: constant LL 1.0 quantizes to all-zero wire bytes via
+# round-half-even, so the device sees ONLY the dither.)  Blocks with
+# AC(X) < GAMMA2 * AC(E) are therefore repaired from the true LL instead.
+WIRE_DIR_GAMMA2 = 16.0  # content AC rms must exceed 4x the error AC rms
+
+
+def _block_ac(a: np.ndarray, blk: int, nbh: int, nbw: int) -> np.ndarray:
+    """Per-block AC energy ||B - mean(B)||_F^2 of [k, hc, wc] -> [k, nbh, nbw]."""
+    v = (a[:, : nbh * blk, : nbw * blk].astype(np.float32)
+         .reshape(a.shape[0], nbh, blk, nbw, blk))
+    s = v.sum((2, 4))
+    s2 = (v * v).sum((2, 4))
+    return s2 - s * s * np.float32(1.0 / (blk * blk))
+
+
+def _flat_blocks(ll16: np.ndarray, E: np.ndarray, blk: int,
+                 nbh: int, nbw: int) -> np.ndarray:
+    """[k, nbh, nbw] bool: blocks whose device-side direction is unreliable
+    (see WIRE_DIR_GAMMA2 block comment)."""
+    return (_block_ac(ll16, blk, nbh, nbw)
+            < WIRE_DIR_GAMMA2 * _block_ac(E, blk, nbh, nbw))
+
 
 def wire_error(ll16: np.ndarray, llw: np.ndarray, chan: int) -> np.ndarray:
     """E = the host's exact LL (f32) minus the device's wire-decoded view."""
@@ -218,31 +247,36 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
     the native DLL when available (vfpio_recentre: one fused int8 pass, no
     float temporaries — this was the largest single host stage of the
     u8-wire collect, ~3.9 ms/frame of numpy 6-d transposes at 480p).  Small
-    blocks (direction unrecoverable from the wire) are repaired either way
-    by _repair_small_blocks with the exact host triplet.
+    blocks (direction unrecoverable from the wire) and flat blocks (device
+    direction dominated by the wire error — see WIRE_DIR_GAMMA2) are
+    repaired either way by _repair_small_blocks with the exact host triplet.
     """
     P, k, hc, wc = dll_q.shape
     nbh, nbw = hc // blk, wc // blk
     lib = _native_reconstruct()
-    if lib is not None and hasattr(lib, "vfpio_recentre"):
+    if lib is not None and hasattr(lib, "vfpio_recentre2"):
         import ctypes
 
         qc = np.ascontiguousarray(dll_q)
         Ec = np.ascontiguousarray(E, np.float32)
+        Xc = np.ascontiguousarray(ll16, np.float32)
         out = qc.copy()
         small = np.zeros((P, k, nbh, nbw), np.uint8)
-        lib.vfpio_recentre(
+        lib.vfpio_recentre2(
             qc.ctypes.data_as(ctypes.c_char_p),
             Ec.ctypes.data_as(ctypes.c_void_p),
+            Xc.ctypes.data_as(ctypes.c_void_p),
             out.ctypes.data_as(ctypes.c_char_p),
             small.ctypes.data_as(ctypes.c_char_p),
             P, k, hc, wc, blk,
             ctypes.c_float(DLL_Q), ctypes.c_float(WIRE_DU_MIN),
+            ctypes.c_float(WIRE_DIR_GAMMA2),
         )
         smb = small.astype(bool)
         if smb.any():
             _repair_small_blocks(out, smb, ll16, blk, scale, plane_bits)
         return out
+    flat = _flat_blocks(ll16, E, blk, nbh, nbw)  # [k, nbh, nbw]
     # numpy fallback: einsum over blocked *views* — no 6-d transpose
     # materialization (the previous .transpose().sum() form cost ~35% more)
     rh, rw = nbh * blk, nbw * blk
@@ -253,7 +287,7 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
         k, nbh, blk, nbw, blk)
     num = np.einsum("pkabcd,kabcd->pkac", dv, Ev)   # <dll, E>
     den = np.einsum("pkabcd,pkabcd->pkac", dv, dv)  # ||dll||_F^2
-    big = den >= WIRE_DU_MIN * WIRE_DU_MIN
+    big = (den >= WIRE_DU_MIN * WIRE_DU_MIN) & ~flat[None]
     alpha = np.where(big, 1.0 - num / np.maximum(den, 1e-12),
                      1.0).astype(np.float32)
     db *= np.repeat(np.repeat(alpha, blk, axis=2), blk, axis=3)
@@ -273,6 +307,10 @@ def _repair_small_blocks(out: np.ndarray, small: np.ndarray,
     out [P, k, hc, wc] int8 wire units; small [P, k, nbh, nbw] bool."""
     P, k, nbh, nbw = small.shape
     rh, rw = nbh * blk, nbw * blk
+    # blocked view for vectorized scatter-back (flat content can flag
+    # thousands of blocks per frame; a per-block Python loop would dominate)
+    vout = (out.reshape(P, k, nbh, blk, nbw, blk)
+            if out.shape[-2] == rh and out.shape[-1] == rw else None)
     ki, ii, ji = np.nonzero(small.any(0))
     Xb = (ll16[:, :rh, :rw].astype(np.float32)
           .reshape(k, nbh, blk, nbw, blk)
@@ -288,9 +326,12 @@ def _repair_small_blocks(out: np.ndarray, small: np.ndarray,
         blocks = np.clip(np.rint(
             (ds[:, None, None] * u[sel][:, :, None] * v[sel][:, None, :])
             * np.float32(DLL_Q)), -127, 127).astype(np.int8)
-        for t, (kk, aa, cc) in enumerate(zip(ki[sel], ii[sel], ji[sel])):
-            out[p, kk, aa * blk:(aa + 1) * blk,
-                cc * blk:(cc + 1) * blk] = blocks[t]
+        if vout is not None:
+            vout[p, ki[sel], ii[sel], :, ji[sel], :] = blocks
+        else:  # LL grid not a block multiple: slice-wise (rare, small tail)
+            for t, (kk, aa, cc) in enumerate(zip(ki[sel], ii[sel], ji[sel])):
+                out[p, kk, aa * blk:(aa + 1) * blk,
+                    cc * blk:(cc + 1) * blk] = blocks[t]
 
 
 # -- host-only transport (wire='host') ----------------------------------------
