@@ -106,6 +106,13 @@ def _load_vfpio_uncached():
             ctypes.c_long,
             ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ]
+        lib.vfpio_qim_repair.restype = None
+        lib.vfpio_qim_repair.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_float,
+        ]
     except AttributeError:  # pragma: no cover - depends on .so vintage
         pass
     lib.vfpio_reconstruct.restype = None

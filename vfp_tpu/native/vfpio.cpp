@@ -425,6 +425,48 @@ void vfpio_qim_dll(const _Float16* ll, const unsigned char* bits,
 
 // f16 LL [k, hc, wc] -> decoded bits u8 [k, nbh*nbw] (blocks row-major):
 // bit = (s0 mod scale) > scale/2, matching lowlink.host_extract_bits.
+// Masked exact-triplet repair for the u8-wire recentre
+// (lowlink._repair_small_blocks hot path): for each block flagged in mask
+// [P, k, nbh, nbw], recompute the QIM delta from the TRUE f16 LL with the
+// same triplet4 power iteration as vfpio_qim_dll and overwrite that block
+// of out [P, k, hc, wc] (int8 fixed-point x8, DLL_Q).  The triplet is
+// solved once per frame-block and shared across flagged planes (s0/u/v are
+// bit-independent).  blk is fixed at 4 (triplet4); other blocks untouched.
+void vfpio_qim_repair(const _Float16* ll, const unsigned char* mask,
+                      const unsigned char* bits, signed char* out,
+                      long P, long k, long hc, long wc, float scale) {
+    const long nbh = hc / 4, nbw = wc / 4, nb = nbh * nbw;
+    for (long f = 0; f < k; ++f) {
+        const _Float16* lf = ll + f * hc * wc;
+        for (long bi = 0; bi < nbh; ++bi)
+            for (long bj = 0; bj < nbw; ++bj) {
+                bool any = false;
+                for (long p = 0; p < P && !any; ++p)
+                    any = mask[((p * k + f) * nbh + bi) * nbw + bj] != 0;
+                if (!any) continue;
+                float x[16], u[4], v[4];
+                for (int r = 0; r < 4; ++r)
+                    for (int c = 0; c < 4; ++c)
+                        x[r * 4 + c] = (float)lf[(bi * 4 + r) * wc + bj * 4 + c];
+                const float s0 = triplet4(x, u, v);
+                const float base = std::floor(s0 / scale) + 0.25f;
+                for (long p = 0; p < P; ++p) {
+                    if (!mask[((p * k + f) * nbh + bi) * nbw + bj]) continue;
+                    const float bit = (float)bits[p * nb + bi * nbw + bj];
+                    const float ds = (base + 0.5f * bit) * scale - s0;
+                    signed char* o =
+                        out + ((p * k + f) * hc + bi * 4) * wc + bj * 4;
+                    for (int r = 0; r < 4; ++r)
+                        for (int c = 0; c < 4; ++c) {
+                            float q = std::nearbyint(ds * u[r] * v[c] * 8.0f);
+                            q = q < -127.f ? -127.f : (q > 127.f ? 127.f : q);
+                            o[r * wc + c] = (signed char)q;
+                        }
+                }
+            }
+    }
+}
+
 void vfpio_qim_bits(const _Float16* ll, unsigned char* out,
                     long k, long hc, long wc, float scale) {
     const long nbh = hc / 4, nbw = wc / 4;

@@ -304,8 +304,31 @@ def _repair_small_blocks(out: np.ndarray, small: np.ndarray,
                          plane_bits: np.ndarray) -> None:
     """Recompute below-floor blocks' wire deltas from the TRUE LL, in place.
 
-    out [P, k, hc, wc] int8 wire units; small [P, k, nbh, nbw] bool."""
+    out [P, k, hc, wc] int8 wire units; small [P, k, nbh, nbw] bool.
+
+    Hot path is the masked C++ kernel (vfpio_qim_repair: one triplet per
+    flagged frame-block, shared across planes — flat content flags EVERY
+    block, so grayscale video would otherwise pay a full numpy repair per
+    frame); blk != 4 or a missing/old toolchain falls back to the numpy
+    twin below."""
     P, k, nbh, nbw = small.shape
+    lib = _native_reconstruct()
+    if (lib is not None and blk == 4 and hasattr(lib, "vfpio_qim_repair")
+            and out.flags["C_CONTIGUOUS"]):
+        import ctypes
+
+        nb = nbh * nbw
+        pb = np.ascontiguousarray(
+            (np.asarray(plane_bits)[:, :nb] > 0.5).astype(np.uint8))
+        llc = np.ascontiguousarray(ll16, np.float16)
+        mc = np.ascontiguousarray(small.astype(np.uint8))
+        lib.vfpio_qim_repair(
+            llc.ctypes.data_as(ctypes.c_void_p),
+            mc.ctypes.data_as(ctypes.c_char_p),
+            pb.ctypes.data_as(ctypes.c_char_p),
+            out.ctypes.data_as(ctypes.c_char_p),
+            P, k, out.shape[-2], out.shape[-1], ctypes.c_float(scale))
+        return
     rh, rw = nbh * blk, nbw * blk
     # blocked view for vectorized scatter-back (flat content can flag
     # thousands of blocks per frame; a per-block Python loop would dominate)
