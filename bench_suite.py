@@ -798,7 +798,8 @@ def main():
     ]:
         if wanted is not None and not any(s in name for s in wanted):
             continue
-        fps_key = {"hls_workflow": "marked_frames_per_sec_incl_io",
+        fps_key = {"roundtrip_480p": "embed_fps_incl_io",
+                   "hls_workflow": "marked_frames_per_sec_incl_io",
                    "hls_workflow_host": "marked_frames_per_sec_incl_io",
                    "leak_trace": "trace_frames_per_sec_incl_io",
                    "leak_trace_host": "trace_frames_per_sec_incl_io",
