@@ -136,16 +136,25 @@ class TestNativeReconstruct:
 class TestNativeRecentre:
     @pytest.mark.skipif(not have_native(), reason="no g++ / prebuilt lib")
     def test_recentre_matches_numpy(self, rng):
-        """vfpio_recentre vs the einsum fallback: same f32 formulas per
+        """vfpio_recentre2 vs the einsum fallback: same f32 formulas per
         block (sequential vs pairwise accumulation over 16 terms), so at
         most a 1-step int8 rint difference on a half-way tie — on random
         input the outputs are byte-identical, asserted to <=1 with an
         exactness floor.  Covers: big-block rescale, small blocks routed
         through _repair_small_blocks in BOTH modes, odd frame dims (tail
-        rows/cols pass through as the input bytes)."""
+        rows/cols pass through as the input bytes).
+
+        One structural exception: repaired blocks go through triplet4 in
+        native mode but _host_triplet in the forced-numpy mode, and (as
+        TestNativeQim documents) those twins can move a borderline s0
+        across a QIM cell edge — a whole-block s0-sized difference onto a
+        different, equally valid centre for the SAME bit.  Any block with
+        a >1-step difference must therefore satisfy that decision-parity
+        invariant rather than fail the byte bound."""
         from vfp_tpu.pipeline import lowlink
 
         P, k, hc, wc, blk = 3, 4, 117, 163, 4
+        scale = 45.0
         dll = rng.randint(-100, 100, (P, k, hc, wc)).astype(np.int8)
         dll[:, :, :16, :16] = rng.randint(-2, 2, (P, k, 16, 16)).astype(
             np.int8)  # below the WIRE_DU_MIN floor -> exact repair path
@@ -154,15 +163,29 @@ class TestNativeRecentre:
         bits = rng.randint(0, 2, (P, (hc // blk) * (wc // blk))).astype(
             np.float32)
         assert lowlink._native_reconstruct() is not None
-        got = lowlink.recentre_dll(dll, E, ll16, blk, 45.0, bits)
+        got = lowlink.recentre_dll(dll, E, ll16, blk, scale, bits)
         orig = lowlink._native_reconstruct
         lowlink._native_reconstruct = lambda: None
         try:
-            want = lowlink.recentre_dll(dll, E, ll16, blk, 45.0, bits)
+            want = lowlink.recentre_dll(dll, E, ll16, blk, scale, bits)
         finally:
             lowlink._native_reconstruct = orig
         d = np.abs(got.astype(np.int16) - want.astype(np.int16))
-        assert d.max() <= 1
+        if d.max() > 1:  # borderline-s0 cell-edge block: same-bit centres
+            nbh, nbw = hc // blk, wc // blk
+            X32 = ll16.astype(np.float32)
+            for p, f, a, c in zip(*np.nonzero(
+                    d[:, :, : nbh * blk, : nbw * blk]
+                    .reshape(P, k, nbh, blk, nbw, blk).max((3, 5)) > 1)):
+                blk_x = X32[f, a * blk:(a + 1) * blk, c * blk:(c + 1) * blk]
+                want_bit = bits[p, a * nbw + c]
+                for o in (got, want):
+                    m = blk_x + o[p, f, a * blk:(a + 1) * blk,
+                                  c * blk:(c + 1) * blk] / lowlink.DLL_Q
+                    s0 = np.linalg.svd(m, compute_uv=False)[0]
+                    assert (np.fmod(s0, scale) > scale * 0.5) == bool(
+                        want_bit), (p, f, a, c, s0)
+            assert (d <= 1).mean() > 0.999  # cell-edge blocks stay rare
         assert (d == 0).mean() > 0.9999
         # tail rows/cols beyond the block grid are the input, bit-exact
         np.testing.assert_array_equal(got[:, :, hc - hc % blk:],

@@ -244,15 +244,23 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
     (each plane's per-block bit, row-major blocks).  Returns corrected int8.
 
     The big-block rescale (all but ~2*WIRE_DU_MIN/scale of blocks) runs in
-    the native DLL when available (vfpio_recentre: one fused int8 pass, no
+    the native DLL when available (vfpio_recentre2: one fused int8 pass, no
     float temporaries — this was the largest single host stage of the
-    u8-wire collect, ~3.9 ms/frame of numpy 6-d transposes at 480p).  Small
-    blocks (direction unrecoverable from the wire) and flat blocks (device
+    u8-wire collect, ~3.9 ms/frame of numpy 6-d transposes at 480p; the
+    direction-reliability gate shares the same block walk).  Small blocks
+    (direction unrecoverable from the wire) and flat blocks (device
     direction dominated by the wire error — see WIRE_DIR_GAMMA2) are
     repaired either way by _repair_small_blocks with the exact host triplet.
     """
     P, k, hc, wc = dll_q.shape
     nbh, nbw = hc // blk, wc // blk
+    if np.asarray(plane_bits).shape[-1] < nbh * nbw:
+        # same geometry check as host_dll: the native repair indexes
+        # bits[p*nb + block] and must never read past a too-short plane
+        raise ValueError(
+            f"plane_bits cover {np.asarray(plane_bits).shape[-1]} blocks, "
+            f"frame grid has {nbh * nbw} — watermark generated for a "
+            "smaller geometry than the frames being recentred")
     lib = _native_reconstruct()
     if lib is not None and hasattr(lib, "vfpio_recentre2"):
         import ctypes
@@ -331,9 +339,12 @@ def _repair_small_blocks(out: np.ndarray, small: np.ndarray,
         return
     rh, rw = nbh * blk, nbw * blk
     # blocked view for vectorized scatter-back (flat content can flag
-    # thousands of blocks per frame; a per-block Python loop would dominate)
+    # thousands of blocks per frame; a per-block Python loop would dominate).
+    # Contiguity matters: reshape of a non-contiguous array returns a COPY
+    # and the scatter would silently write into dead memory.
     vout = (out.reshape(P, k, nbh, blk, nbw, blk)
-            if out.shape[-2] == rh and out.shape[-1] == rw else None)
+            if out.shape[-2] == rh and out.shape[-1] == rw
+            and out.flags["C_CONTIGUOUS"] else None)
     ki, ii, ji = np.nonzero(small.any(0))
     Xb = (ll16[:, :rh, :rw].astype(np.float32)
           .reshape(k, nbh, blk, nbw, blk)
