@@ -435,6 +435,67 @@ class TestU8Wire:
                     deg.degenerate(b), payload_for_segment(1, v))
 
 
+class TestFlatAdapt:
+    """u8-wire flat-content hysteresis (lowlink._FlatAdapt): when collects
+    keep repairing ~every block, the device call adds no information — the
+    marker must route later batches through the host twin and periodically
+    re-probe the device."""
+
+    def test_flat_video_switches_to_host_and_probes(self, rng):
+        from vfp_tpu.pipeline.lowlink import _FlatAdapt
+
+        codec = DwtDctSvd()
+        g = (rng.rand(2, 64, 96, 1) * 30 + 100).astype(np.uint8)
+        frames = np.repeat(g, 3, axis=3)  # grayscale: flat U LL everywhere
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [jnp.asarray(rng.randint(0, 2, cap), jnp.float32)
+               for _ in range(3)]
+        m = LowLinkMarker(codec, wms, batch_size=2, wire="u8")
+        want = LowLinkMarker(codec, wms, batch_size=2,
+                             wire="host").mark_all(frames)
+        tags, outs = [], []
+        for _ in range(_FlatAdapt.ON_AFTER + _FlatAdapt.PROBE_EVERY + 1):
+            h = m.submit(frames)
+            tags.append(h[3])
+            outs.append(m.collect(h))
+        on = _FlatAdapt.ON_AFTER
+        # warmup batches hit the device (corr tuple carries the wire pair)
+        assert all(isinstance(t, tuple) for t in tags[:on]), tags[:on]
+        # then the host twin takes over ...
+        assert all(t == "host" for t in tags[on:on + _FlatAdapt.PROBE_EVERY - 1])
+        # ... with a device re-probe every PROBE_EVERY host batches
+        assert isinstance(tags[on + _FlatAdapt.PROBE_EVERY - 1], tuple)
+        assert tags[on + _FlatAdapt.PROBE_EVERY] == "host"
+        # every batch - device, host, probe - is decision-identical
+        for o in outs:
+            np.testing.assert_array_equal(o, want)
+
+    def test_natural_video_stays_on_device(self, rng):
+        codec = DwtDctSvd()
+        frames = natural_frames(rng, 2, 64, 96)
+        cap = codec.wm_capacity(frames.shape[1:])
+        wms = [jnp.asarray(rng.randint(0, 2, cap), jnp.float32)
+               for _ in range(3)]
+        m = LowLinkMarker(codec, wms, batch_size=2, wire="u8")
+        for _ in range(6):
+            h = m.submit(frames)
+            assert isinstance(h[3], tuple)  # never leaves the wire
+            m.collect(h)
+        assert m._adapt.streak == 0
+
+    def test_packer_shares_adapt_across_markers(self, rng):
+        from vfp_tpu.pipeline.lowlink import PackedTwoPlane
+
+        codec = DwtDctSvd()
+        packer = PackedTwoPlane(codec, pack=4, wire="u8")
+        cap = codec.wm_capacity((64, 96, 3))
+        wms = [jnp.asarray(rng.randint(0, 2, cap), jnp.float32)
+               for _ in range(3)]
+        m1 = LowLinkMarker(codec, wms, batch_size=2, packer=packer, wire="u8")
+        m2 = LowLinkMarker(codec, wms, batch_size=2, packer=packer, wire="u8")
+        assert m1._adapt is packer.adapt and m2._adapt is packer.adapt
+
+
 class TestWireAwareCaches:
     def test_cached_bit_extractor_keyed_by_wire(self, monkeypatch):
         """A wire change mid-process (bench _host entries, outage recovery)

@@ -237,11 +237,14 @@ def _host_triplet(x: np.ndarray):
 
 
 def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
-                 blk: int, scale: float, plane_bits: np.ndarray) -> np.ndarray:
+                 blk: int, scale: float, plane_bits: np.ndarray,
+                 stats: dict | None = None) -> np.ndarray:
     """Recentre u8-wire deltas on the TRUE LL's s0 (see block comment above).
 
     dll_q [P, k, hc, wc] int8, E / ll16 [k, hc, wc], plane_bits [P, >=nb]
     (each plane's per-block bit, row-major blocks).  Returns corrected int8.
+    When ``stats`` is given, records ``repair_frac`` — the fraction of
+    blocks the exact-triplet repair recomputed (feeds _FlatAdapt).
 
     The big-block rescale (all but ~2*WIRE_DU_MIN/scale of blocks) runs in
     the native DLL when available (vfpio_recentre2: one fused int8 pass, no
@@ -281,6 +284,8 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
             ctypes.c_float(WIRE_DIR_GAMMA2),
         )
         smb = small.astype(bool)
+        if stats is not None:
+            stats["repair_frac"] = float(smb.mean())
         if smb.any():
             _repair_small_blocks(out, smb, ll16, blk, scale, plane_bits)
         return out
@@ -296,6 +301,8 @@ def recentre_dll(dll_q: np.ndarray, E: np.ndarray, ll16: np.ndarray,
     num = np.einsum("pkabcd,kabcd->pkac", dv, Ev)   # <dll, E>
     den = np.einsum("pkabcd,pkabcd->pkac", dv, dv)  # ||dll||_F^2
     big = (den >= WIRE_DU_MIN * WIRE_DU_MIN) & ~flat[None]
+    if stats is not None:
+        stats["repair_frac"] = float((~big).mean())
     alpha = np.where(big, 1.0 - num / np.maximum(den, 1e-12),
                      1.0).astype(np.float32)
     db *= np.repeat(np.repeat(alpha, blk, axis=2), blk, axis=3)
@@ -653,6 +660,39 @@ def _mark_fn_2plane(codec):
     return fn
 
 
+class _FlatAdapt:
+    """u8-wire flat-content hysteresis.
+
+    When a collect's direction-reliability gate repaired (almost) every
+    block, the device's deltas carried no information for that batch — the
+    whole up-leg + device call + down-leg was wasted work on top of the
+    host repair that produced the real answer.  After ON_AFTER consecutive
+    such collects the marker routes submits through the host QIM twin
+    (host_dll — decision-identical by construction), re-probing the device
+    every PROBE_EVERY host batches so content that regains chroma
+    structure moves back to the wire.  Scope: per PackedTwoPlane (shared
+    across a workflow's segments) or per unpacked marker — never process
+    -global, so one grayscale video cannot degrade an unrelated marker.
+    """
+
+    THRESH = 0.9      # repair fraction above which a batch counts as flat
+    ON_AFTER = 2      # consecutive flat collects before switching
+    PROBE_EVERY = 8   # every Nth host batch goes to the device anyway
+
+    def __init__(self):
+        self.streak = 0
+        self.host_batches = 0
+
+    def update(self, repair_frac: float) -> None:
+        self.streak = self.streak + 1 if repair_frac > self.THRESH else 0
+
+    def use_host(self) -> bool:
+        if self.streak < self.ON_AFTER:
+            return False
+        self.host_batches += 1
+        return self.host_batches % self.PROBE_EVERY != 0
+
+
 class _Chunk:
     """One packed device call: LL pieces from >=1 submissions."""
 
@@ -692,6 +732,8 @@ class PackedTwoPlane:
         self.wire = wire or default_wire()
         self.pack = int(pack)
         self.chan = active_channel(codec)
+        self.adapt = _FlatAdapt()  # shared flat-content hysteresis: one
+        # grayscale-video workflow learns ONCE, across all its segments
         self._fn = _mark_fn_2plane(codec)
         self._lock = threading.Lock()
         self._pend: list = []  # np f16 LL pieces
@@ -811,6 +853,10 @@ class LowLinkMarker:
                             and packer.codec is codec else None)
             self._fn = (_mark_fn_2plane(codec) if self._two_plane
                         else _mark_fn(codec, len(self._wms_np)))
+        # u8-wire flat-content hysteresis; shared via the packer so a
+        # grayscale workflow adapts across segments, per-marker otherwise
+        self._adapt = (self._packer.adapt if self._packer is not None
+                       else _FlatAdapt())
         self._masks: dict = {}  # (hc, wc) -> [V, hc, wc] bool, built lazily
         # per-stage busy seconds, accumulated across submit/collect calls
         # (single host core: these compete for the same CPU, so their sum
@@ -842,11 +888,18 @@ class LowLinkMarker:
         ll = host_ll(frames, self.chan)
         t1 = time.perf_counter()
         corr = None
-        if self.wire == "host":
+        # flat-content hysteresis: when recent collects repaired ~every
+        # block, the device deltas carry no information here — compute this
+        # batch with the (decision-identical) host twin instead of paying
+        # the up-leg + call + down-leg for nothing (_FlatAdapt re-probes)
+        host_route = (self.wire == "host"
+                      or (self.wire == "u8" and self._adapt.use_host()))
+        if host_route:
             nb = (ll.shape[1] // self.codec.blk) * (ll.shape[2] // self.codec.blk)
             pb = (np.repeat(np.arange(2, dtype=np.float32)[:, None], nb, 1)
                   if self._two_plane else self._wms_np[:, :nb])
-            handle = (host_dll(ll, self.codec, self.chan, pb), frames, k, None)
+            handle = (host_dll(ll, self.codec, self.chan, pb), frames, k,
+                      "host")
         else:
             llw = wire_encode(ll, self.wire, self.chan)
             corr = (ll, llw) if self.wire == "u8" else None
@@ -858,7 +911,7 @@ class LowLinkMarker:
                 handle = (self._fn(jnp.asarray(llw), self._wms), frames, k, corr)
         t2 = time.perf_counter()
         self.stage_seconds["host_ll"] += t1 - t0
-        if self.wire == "host":
+        if host_route:
             self.stage_seconds["host_qim"] += t2 - t1
         elif self._packer is None:  # packer times its own (shared) dispatches
             self.stage_seconds["dispatch"] += t2 - t1
@@ -885,21 +938,27 @@ class LowLinkMarker:
 
         dll_dev, frames, k, corr = handle
         t0 = time.perf_counter()
-        if self._packer is not None:
+        host_batch = isinstance(corr, str)  # "host": dll computed at submit
+        if host_batch:
+            dll = dll_dev
+        elif self._packer is not None:
             dll = self._packer.fetch(dll_dev)  # [2, k, hc, wc] int8
         else:
             dll = np.asarray(dll_dev)[:, :k]  # [V or 2, k, hc, wc] int8
         t1 = time.perf_counter()
-        if corr is not None:
+        if corr is not None and not host_batch:
             ll, llw = corr
             nb = (dll.shape[-2] // self.codec.blk) * (dll.shape[-1] // self.codec.blk)
             if self._two_plane:
                 pb = np.repeat(np.arange(2, dtype=np.float32)[:, None], nb, 1)
             else:
                 pb = self._wms_np[:, :nb]
+            st: dict = {}
             dll = recentre_dll(dll, wire_error(ll, llw, self.chan), ll,
                                self.codec.blk,
-                               float(self.codec.scales[self.chan]), pb)
+                               float(self.codec.scales[self.chan]), pb,
+                               stats=st)
+            self._adapt.update(st.get("repair_frac", 0.0))
             self.stage_seconds["recentre"] += time.perf_counter() - t1
         t2 = time.perf_counter()
         if self._two_plane:
