@@ -74,6 +74,20 @@ class TestMjpegAvi:
         assert abs(info["fps"] - 24) < 0.1
         assert info["frames"] == 3
 
+    def test_riff_4gib_cap_raises(self, tmp_path):
+        """RIFF sizes are 32-bit: a write that would push the file past
+        4 GiB must raise loudly, not wrap the header fields into a silently
+        unreadable file.  Simulated by seeking near the cap (sparse file —
+        nothing big lands on disk)."""
+        import pytest
+
+        w = MjpegAviWriter(tmp_path / "big.avi", 8, 8, fps=1)
+        w.write_encoded(b"\xff\xd8tiny\xff\xd9")
+        w.f.seek(0xFFFF_F000 - 50)
+        with pytest.raises(IOError, match="4 GiB"):
+            w.write_encoded(b"x" * 100)
+        w.f.close()
+
 
 class TestCv2Mp4:
     def test_mp4v_roundtrip(self, tmp_path, rng):

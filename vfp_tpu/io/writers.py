@@ -138,6 +138,15 @@ class MjpegAviWriter(FrameWriter):
     def write_encoded(self, data: bytes):
         """Append one already-encoded JPEG as a frame chunk (the stream-copy
         path: io/avi.py splice copies compressed frames with no re-encode)."""
+        # RIFF sizes are 32-bit: past 4 GiB the header fields wrap and the
+        # file is silently unreadable.  Refuse loudly instead (OpenDML AVIX
+        # extension chunks not implemented - segment long outputs upstream).
+        projected = (self.f.tell() + 8 + len(data) + 1       # this chunk
+                     + 8 + 16 * (self._nframes + 1))         # closing idx1
+        if projected > 0xFFFF_F000:
+            raise IOError(
+                f"{self.file}: AVI RIFF size would exceed 4 GiB at frame "
+                f"{self._nframes + 1} - split the output into segments")
         pad = len(data) % 2
         off = self.f.tell() - self._movi_start + 4  # offset from 'movi' fourcc
         self.f.write(b"00dc" + struct.pack("<I", len(data)) + data + b"\x00" * pad)
