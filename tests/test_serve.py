@@ -178,6 +178,22 @@ class TestWorkflow:
         assert data["segment_number"] == 1 and data["copy_index"] == 1
         users = {m["username"] for m in data["matches"]}
         assert "bob" in users and "alice" not in users
+        # API/UI contract: every field the detect page dereferences per match
+        # card (templates.py: m.username / m.timestamp / m.payload.join /
+        # m.segment_number / m.frequency; reference api/main.py:652-659)
+        # must be present and well-typed, or the page throws and the
+        # investigator sees an error instead of the matched users.
+        for m in data["matches"]:
+            assert isinstance(m["username"], str)
+            assert isinstance(m["timestamp"], str) and m["timestamp"]
+            assert isinstance(m["payload"], list) and m["payload"]
+            assert all(isinstance(b, int) for b in m["payload"])
+            assert isinstance(m["segment_number"], int)
+            assert isinstance(m["copy_index"], int)
+            assert isinstance(m["frequency"], float) and 0.0 < m["frequency"] <= 1.0
+        bob = next(m for m in data["matches"] if m["username"] == "bob")
+        assert bob["segment_number"] == 1 and bob["copy_index"] == 1
+        assert bob["payload"] == data["pattern"]
 
     def test_download_view(self, server, uploaded):
         base, _ = server

@@ -287,11 +287,21 @@ class VfpService:
         for view_id, view in history.items():
             pat = pattern_for_view(view["view_number"], view["num_copies"], view["num_segments"])
             if segment_number < len(pat) and pat[segment_number] == copy_index:
+                # Per-match fields mirror the reference response contract
+                # (reference: api/main.py:652-659) — the detect page renders
+                # timestamp/payload/segment_number/frequency per card
+                # (templates.py _DETECT match cards), so every field it
+                # dereferences must be present here.
                 matches.append(
                     {
                         "view_id": view_id,
                         "username": view["username"],
                         "view_number": view["view_number"],
+                        "timestamp": view.get("timestamp", ""),
+                        "payload": list(map(int, pattern)),
+                        "segment_number": int(segment_number),
+                        "copy_index": int(copy_index),
+                        "frequency": float(frequency),
                     }
                 )
         return {
