@@ -232,11 +232,41 @@ def cmd_hls_mark(args):
         shutil.rmtree(base)
     segments = segment_video(args.input, base / "segments", args.segment_duration)
     print(f"created {len(segments)} segments")
-    marked, payloads, copies = mark_segments(
-        segments, base / "marked_segments", copies=args.copies, key=args.key,
-        batch_size=args.batch_size, quality=args.quality,
-        resume=getattr(args, "resume", False),
-    )
+    workers = getattr(args, "workers", 1) or 1
+    if getattr(args, "distributed", False):
+        # multi-host farm: every host runs this same command against a shared
+        # output dir; jax.distributed rank-shards the segment list and rank 0
+        # merges manifest shards (parallel/farm.py:mark_segments_distributed)
+        from ..parallel.farm import mark_segments_distributed
+
+        marked, payloads, copies = mark_segments_distributed(
+            segments, base / "marked_segments", copies=args.copies,
+            key=args.key, batch_size=args.batch_size, quality=args.quality,
+            out_ext=None,
+            coordinator_address=getattr(args, "coordinator", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
+        import jax
+
+        if jax.process_index() != 0:
+            print(f"rank {jax.process_index()}: shard done "
+                  f"({len(marked)} marked segments); rank 0 owns the merge")
+            return
+    elif workers > 1:
+        from ..parallel.farm import mark_segments_parallel
+
+        marked, payloads, copies = mark_segments_parallel(
+            segments, base / "marked_segments", copies=args.copies,
+            key=args.key, workers=workers, batch_size=args.batch_size,
+            quality=args.quality, out_ext=None,
+        )
+    else:
+        marked, payloads, copies = mark_segments(
+            segments, base / "marked_segments", copies=args.copies, key=args.key,
+            batch_size=args.batch_size, quality=args.quality,
+            resume=getattr(args, "resume", False),
+        )
     failed = []
     for m, (pattern, freq, ok) in zip(
             marked, verify_segments(marked, key=args.key,
@@ -461,6 +491,18 @@ def main(argv=None):
     h.add_argument("--key", type=int, default=0)
     h.add_argument("--batch-size", type=int, default=16)
     h.add_argument("--quality", type=int, default=95)
+    h.add_argument("--workers", type=int, default=1,
+                   help="single-host process farm: fan segments over N "
+                        "worker processes (parallel/farm.py)")
+    h.add_argument("--distributed", action="store_true",
+                   help="multi-host farm via jax.distributed rank sharding; "
+                        "run the same command on every host against a shared "
+                        "output dir")
+    h.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address (host:port); "
+                        "omit for cluster auto-detect / env vars")
+    h.add_argument("--num-processes", dest="num_processes", type=int, default=None)
+    h.add_argument("--process-id", dest="process_id", type=int, default=None)
     h.set_defaults(fn=cmd_hls_mark)
 
     l = sub.add_parser("leak", help="splice a leaked copy from variants")
