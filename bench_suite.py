@@ -415,6 +415,11 @@ def bench_dtcwtimg_1080p(quick):
     return {"batch": b, "mark_fps_chip": round(mark_fps, 1),
             "extract_fps_chip": round(ext_fps, 1),
             "extract_correlation": round(corr, 4),
+            "correlation_note": "raw plane corr is bounded by the zero-lowpass"
+            " decode, not embed strength (alpha 1.5/2.5/4.0 all measure the"
+            " same clean agreement); image_agreement is the decision"
+            " statistic — combined-attack floors pinned in"
+            " tests/test_attacks.py::TestDtcwtImgCombinedAttackMargins",
             "image_agreement": round(agree, 4)}
 
 

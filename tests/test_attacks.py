@@ -277,3 +277,91 @@ class TestMp4vInterFrameChannel:
         got = (rec > rec.mean()).astype(np.uint8)
         want = (img > 127).astype(np.uint8)
         assert (got == want).mean() > 0.75, (got == want).mean()
+
+
+class TestDtcwtImgCombinedAttackMargins:
+    """Pins the DtcwtImg agreement floor under COMBINED attacks (VERDICT r3
+    item 8).  Margin characterization (measured at 480x640, b=6, alpha=1.5):
+
+      clean roundtrip     0.785   <- ceiling set by the zero-lowpass decode
+      jpeg80 + rescale2x  0.769       (NOT by embed strength: an alpha sweep
+      mp4v + brightness15 0.789        1.5/2.5/4.0 all measure ~0.785 clean;
+      mp4v + jpeg70       0.752        alpha only trades PSNR 30->21.6 dB for
+      unmarked (chance)   ~0.5         attacked-margin, jpeg70 .758->.787)
+
+    So attacks cost <= 0.035 agreement vs clean, and the decision statistic
+    stays >= 0.75 (the reference durability bar) with ~0.25 margin over
+    chance 0.5.  Default alpha stays 1.5: the visible-image codec's clean
+    ceiling is decode-bound, and 30 dB PSNR matters more than widening an
+    already-held attacked margin.  This is also why bench_suite's
+    `extract_correlation` 0.30 is not alarming: raw plane correlation is
+    bounded by the same zero-lowpass decode; `image_agreement` (0.92 at
+    1080p) is the decision statistic."""
+
+    @pytest.fixture(scope="class")
+    def img_marked(self):
+        from vfp_tpu.wm import BlockShuffler
+        from vfp_tpu.wm.dtcwt_codecs import DtcwtImg
+
+        rng = np.random.RandomState(0)
+        frames = natural_frames(rng, b=6, h=480, w=640)
+        codec = DtcwtImg()
+        cap = codec.wm_capacity((480, 640, 3))
+        img = (rng.rand(27, 48) > 0.5).astype(np.float32) * 255
+        wm = BlockShuffler(key=5).generate_wm(img, cap)
+        marked = np.asarray(
+            codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm, jnp.float32)))
+        return codec, img, frames, marked
+
+    @staticmethod
+    def _agreement(codec, img, back):
+        from vfp_tpu.wm import DeBlockShuffler
+
+        planes = np.asarray(codec.extract_frames(jnp.asarray(back)))
+        rec = DeBlockShuffler(key=5).set_shape(img.shape).degenerate(planes.mean(0))
+        got = (rec > rec.mean()).astype(np.uint8)
+        return float((got == (img > 127)).mean())
+
+    def test_jpeg80_plus_rescale(self, img_marked):
+        codec, img, _, marked = img_marked
+        attacked = []
+        for m in marked:
+            j = cv2.imdecode(
+                cv2.imencode(".jpg", m, [cv2.IMWRITE_JPEG_QUALITY, 80])[1], 1)
+            small = cv2.resize(j, (320, 240), interpolation=cv2.INTER_AREA)
+            attacked.append(cv2.resize(small, (640, 480),
+                                       interpolation=cv2.INTER_LINEAR))
+        a = self._agreement(codec, img, np.stack(attacked))
+        assert a > 0.75, a  # measured floor 0.769
+
+    def test_mp4v_plus_brightness(self, img_marked, tmp_path):
+        from vfp_tpu.io import Cv2Writer, open_reader
+
+        codec, img, _, marked = img_marked
+        out = tmp_path / "combined.mp4"
+        with Cv2Writer(out, 640, 480, fps=6) as w:
+            w.write_batch(marked)
+        with open_reader(out) as r:
+            chunks = []
+            while True:
+                b = r.read_batch(32)
+                if b is None:
+                    break
+                chunks.append(b)
+        back = np.concatenate(chunks)
+        bright = np.clip(back.astype(np.int16) + 15, 0, 255).astype(np.uint8)
+        a = self._agreement(codec, img, bright)
+        assert a > 0.75, a  # measured floor 0.789
+        # and a second lossy generation on top still clears 0.74
+        j2 = np.stack([
+            cv2.imdecode(cv2.imencode(".jpg", f,
+                                      [cv2.IMWRITE_JPEG_QUALITY, 70])[1], 1)
+            for f in back
+        ])
+        a2 = self._agreement(codec, img, j2)
+        assert a2 > 0.74, a2  # measured floor 0.752
+
+    def test_unmarked_stays_at_chance(self, img_marked):
+        codec, img, frames, _ = img_marked
+        a = self._agreement(codec, img, frames)
+        assert a < 0.65, a  # chance level ~0.5 — the margin above is real
