@@ -1,0 +1,242 @@
+"""Box-level MP4 remuxer tests (io/mp4.py).
+
+The ground truth for every stream-copy claim is cv2's real demuxer/decoder:
+if a remuxed file decodes to bit-identical frames, no lossy generation
+happened (reference behavior: ``-c copy`` concat tests/generate_leak.py:126-141,
+fMP4 fragmenting api/main.py:113-124).
+"""
+
+import numpy as np
+import cv2
+import pytest
+
+from vfp_tpu.io.mp4 import (
+    Track,
+    add_audio_track,
+    concat_mp4,
+    fragment_mp4,
+    read_mp4,
+    slice_track_by_time,
+    write_mp4,
+)
+
+REF_CLIP = "/root/reference/tests/media/in.mp4"
+
+
+def decode_frames(path):
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(f)
+    cap.release()
+    return np.stack(frames) if frames else None
+
+
+def sample_bytes(track):
+    out = []
+    for s in track.samples:
+        with open(s.src, "rb") as f:
+            f.seek(s.offset)
+            out.append(f.read(s.size))
+    return b"".join(out)
+
+
+@pytest.fixture()
+def mp4v_segments(tmp_path):
+    """Three cv2-written mp4v segments + their decoded frames."""
+    rng = np.random.RandomState(0)
+    segs, frames = [], []
+    for i in range(3):
+        p = tmp_path / f"s{i}.mp4"
+        w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 6, (64, 48))
+        for f in rng.randint(0, 255, (6, 48, 64, 3), dtype=np.uint8):
+            w.write(f)
+        w.release()
+        segs.append(p)
+        frames.append(decode_frames(p))
+    return segs, frames
+
+
+class TestParse:
+    def test_reference_clip_layout(self):
+        m = read_mp4(REF_CLIP)
+        v, a = m.video(), m.audio()
+        assert v is not None and a is not None
+        assert v.codec_fourcc() == b"avc1" and a.codec_fourcc() == b"mp4a"
+        assert len(v.samples) == 209  # known fixture frame count
+        assert len(a.samples) == 303
+        assert v.timescale == 90000 and a.timescale == 44100
+        assert int(v.width) == 320 and int(v.height) == 240
+        # H.264 has non-sync P/B frames; AAC is all-sync
+        assert not all(s.sync for s in v.samples)
+        assert all(s.sync for s in a.samples)
+
+    def test_cv2_mp4v_layout(self, mp4v_segments):
+        segs, frames = mp4v_segments
+        m = read_mp4(segs[0])
+        v = m.video()
+        assert v.codec_fourcc() == b"mp4v"
+        assert len(v.samples) == 6
+        assert m.audio() is None
+
+    def test_missing_moov_raises(self, tmp_path):
+        p = tmp_path / "x.mp4"
+        p.write_bytes(b"\x00\x00\x00\x08free")
+        with pytest.raises(IOError):
+            read_mp4(p)
+
+
+class TestRewrite:
+    def test_rewrite_decodes_identically(self, tmp_path):
+        m = read_mp4(REF_CLIP)
+        out = tmp_path / "rw.mp4"
+        write_mp4(out, m.tracks)
+        a, b = decode_frames(REF_CLIP), decode_frames(out)
+        assert np.array_equal(a, b)
+
+    def test_rewrite_preserves_audio_bytes_and_timing(self, tmp_path):
+        m = read_mp4(REF_CLIP)
+        out = tmp_path / "rw.mp4"
+        write_mp4(out, m.tracks)
+        m2 = read_mp4(out)
+        assert sample_bytes(m2.audio()) == sample_bytes(m.audio())
+        assert [s.duration for s in m2.audio().samples] == \
+            [s.duration for s in m.audio().samples]
+        assert m2.audio().stsd == m.audio().stsd  # esds codec config verbatim
+        # video sync flags and composition offsets survive too
+        assert [s.sync for s in m2.video().samples] == \
+            [s.sync for s in m.video().samples]
+        assert [s.cts for s in m2.video().samples] == \
+            [s.cts for s in m.video().samples]
+
+
+class TestConcat:
+    def test_concat_is_stream_copy(self, mp4v_segments, tmp_path):
+        segs, frames = mp4v_segments
+        out = tmp_path / "cat.mp4"
+        concat_mp4(segs, out)
+        got = decode_frames(out)
+        # bit-identical to decoding each input: zero lossy generations
+        assert np.array_equal(got, np.concatenate(frames))
+
+    def test_concat_carries_audio(self, tmp_path):
+        out = tmp_path / "cat.mp4"
+        concat_mp4([REF_CLIP, REF_CLIP], out)
+        m = read_mp4(out)
+        ref = read_mp4(REF_CLIP)
+        assert len(m.audio().samples) == 2 * len(ref.audio().samples)
+        assert sample_bytes(m.audio()) == sample_bytes(ref.audio()) * 2
+        got = decode_frames(out)
+        a = decode_frames(REF_CLIP)
+        assert got.shape[0] == 2 * a.shape[0]
+        assert np.array_equal(got[: len(a)], a)
+
+    def test_codec_mismatch_raises(self, mp4v_segments, tmp_path):
+        segs, _ = mp4v_segments
+        with pytest.raises(IOError):
+            concat_mp4([segs[0], REF_CLIP], tmp_path / "bad.mp4")
+
+
+class TestFragment:
+    def test_standalone_m4s_decodes(self, mp4v_segments, tmp_path):
+        segs, frames = mp4v_segments
+        m4s = tmp_path / "s0.m4s"
+        fragment_mp4(segs[0], m4s)
+        assert np.array_equal(decode_frames(m4s), frames[0])
+
+    def test_fragmented_parse_roundtrip(self, mp4v_segments, tmp_path):
+        segs, _ = mp4v_segments
+        m4s = tmp_path / "s0.m4s"
+        fragment_mp4(segs[0], m4s)
+        src, frag = read_mp4(segs[0]), read_mp4(m4s)
+        assert len(frag.video().samples) == len(src.video().samples)
+        assert [s.size for s in frag.video().samples] == \
+            [s.size for s in src.video().samples]
+        assert [s.duration for s in frag.video().samples] == \
+            [s.duration for s in src.video().samples]
+        assert sample_bytes(frag.video()) == sample_bytes(src.video())
+
+    def test_multitrack_fragment(self, tmp_path):
+        m4s = tmp_path / "ref.m4s"
+        fragment_mp4(REF_CLIP, m4s)
+        assert np.array_equal(decode_frames(m4s), decode_frames(REF_CLIP))
+        frag = read_mp4(m4s)
+        assert sample_bytes(frag.audio()) == sample_bytes(read_mp4(REF_CLIP).audio())
+
+    def test_m4s_concat(self, mp4v_segments, tmp_path):
+        """download_view splices .m4s variants without ffmpeg."""
+        segs, frames = mp4v_segments
+        m4ss = []
+        for i, s in enumerate(segs):
+            q = tmp_path / f"s{i}.m4s"
+            fragment_mp4(s, q)
+            m4ss.append(q)
+        out = tmp_path / "view.mp4"
+        concat_mp4(m4ss, out)
+        assert np.array_equal(decode_frames(out), np.concatenate(frames))
+
+
+class TestAudioCarry:
+    def test_slice_track_by_time(self):
+        a = read_mp4(REF_CLIP).audio()
+        total = a.duration / a.timescale
+        first = slice_track_by_time(a, 0.0, 2.0)
+        second = slice_track_by_time(a, 2.0, 4.0)
+        rest = slice_track_by_time(a, 4.0, total + 1)
+        assert len(first.samples) + len(second.samples) + len(rest.samples) == \
+            len(a.samples)
+        assert sample_bytes(first) + sample_bytes(second) + sample_bytes(rest) == \
+            sample_bytes(a)
+        assert abs(first.duration / a.timescale - 2.0) < 0.1
+
+    def test_add_audio_track(self, mp4v_segments, tmp_path):
+        segs, frames = mp4v_segments
+        audio = slice_track_by_time(read_mp4(REF_CLIP).audio(), 0.0, 1.0)
+        want_bytes = sample_bytes(audio)
+        add_audio_track(segs[0], audio)  # in place
+        m = read_mp4(segs[0])
+        assert m.audio() is not None
+        assert sample_bytes(m.audio()) == want_bytes
+        # video still decodes bit-identically after the remux
+        assert np.array_equal(decode_frames(segs[0]), frames[0])
+
+
+class TestLeakIntegration:
+    def test_concatenate_segments_stream_copies_mp4(self, mp4v_segments, tmp_path):
+        """fingerprint.leak.concatenate_segments on .mp4 without ffmpeg must
+        be a stream copy, not a lossy frame splice (VERDICT r3 item 3a)."""
+        from vfp_tpu.fingerprint.leak import concatenate_segments
+        from vfp_tpu.io.ffmpeg import have_ffmpeg
+
+        if have_ffmpeg():
+            pytest.skip("container has ffmpeg; this covers the fallback")
+        segs, frames = mp4v_segments
+        out = tmp_path / "leaked.mp4"
+        concatenate_segments(segs, out)
+        got = decode_frames(out)
+        # exact decode equality == no re-encode happened
+        assert np.array_equal(got, np.concatenate(frames))
+
+    def test_write_hls_playlists_emits_m4s(self, mp4v_segments, tmp_path):
+        """write_hls_playlists fragments .mp4 variants into standalone .m4s
+        without ffmpeg (VERDICT r3 item 3b; reference api/main.py:113-124)."""
+        from vfp_tpu.fingerprint.hls import write_hls_playlists
+        from vfp_tpu.fingerprint.marker import MarkedSegment
+        from vfp_tpu.io.ffmpeg import have_ffmpeg
+
+        if have_ffmpeg():
+            pytest.skip("container has ffmpeg; this covers the fallback")
+        segs, frames = mp4v_segments
+        marked = [MarkedSegment(str(s), i, 0, [0, 1]) for i, s in enumerate(segs)]
+        master, playlist, seg_map, variants = write_hls_playlists(
+            marked, tmp_path / "hls", copies=1, segment_duration=1.0)
+        names = [variants[i][0] for i in range(3)]
+        assert all(n.endswith(".m4s") for n in names)
+        text = playlist.read_text()
+        assert names[0] in text
+        for i, n in enumerate(names):
+            assert np.array_equal(
+                decode_frames(tmp_path / "hls" / n), frames[i])

@@ -101,6 +101,14 @@ def write_hls_playlists(marked, hls_dir, copies: int, segment_duration: float = 
         if have_ffmpeg():
             name = f"marked_seg{m.segment_number:03d}_copy{m.copy_index}.m4s"
             mux_variant_to_m4s(src, hls_dir / name)
+        elif src.suffix == ".mp4":
+            # no ffmpeg: box-level fragmenting to a standalone fMP4 —
+            # same empty_moov+frag shape the reference's ffmpeg call makes
+            # (reference: api/main.py:113-124), zero re-encode (io/mp4.py)
+            from ..io.mp4 import fragment_mp4
+
+            name = f"marked_seg{m.segment_number:03d}_copy{m.copy_index}.m4s"
+            fragment_mp4(src, hls_dir / name)
         else:
             name = f"marked_seg{m.segment_number:03d}_copy{m.copy_index}{src.suffix}"
             shutil.copy2(src, hls_dir / name)

@@ -6,8 +6,11 @@
 from __future__ import annotations
 
 import json
+import logging
 import random
 from pathlib import Path
+
+logger = logging.getLogger(__name__)
 
 from ..io import open_reader, open_writer
 from ..io.ffmpeg import concat_mp4_ffmpeg, have_ffmpeg
@@ -41,13 +44,24 @@ def select_copies(segment_copies_info: dict, marked_dir, pattern: str | None = N
 def concatenate_segments(segment_files, output_file):
     """Splice segments into one file, stream-copy first (the reference's
     ``-c copy`` behaviour, tests/generate_leak.py:126-136): ffmpeg concat for
-    .mp4 outputs, chunk-level MJPEG-AVI copy for .avi (io/avi.py — no
-    re-encode, no decode).  Anything else falls back to a frame-level splice
-    through the reader/writer stack (one lossy generation, like a
-    screen-recorder leak)."""
-    if have_ffmpeg() and str(output_file).endswith(".mp4"):
-        concat_mp4_ffmpeg(segment_files, output_file)
-        return output_file
+    .mp4 outputs (box-level concat_mp4 when the binary is absent — same
+    zero-decode semantics, io/mp4.py), chunk-level MJPEG-AVI copy for .avi
+    (io/avi.py).  Anything else falls back to a frame-level splice through
+    the reader/writer stack (one lossy generation, like a screen-recorder
+    leak)."""
+    if str(output_file).endswith(".mp4"):
+        if have_ffmpeg():
+            concat_mp4_ffmpeg(segment_files, output_file)
+            return output_file
+        if all(str(s).endswith(".mp4") for s in segment_files):
+            try:
+                from ..io.mp4 import concat_mp4
+
+                concat_mp4(segment_files, output_file)
+                return output_file
+            except IOError as e:
+                logger.warning("box-level mp4 concat failed (%s); "
+                               "falling back to frame splice", e)
     if str(output_file).endswith(".avi"):
         from ..io.avi import splice_mjpeg_avis
 
