@@ -204,6 +204,70 @@ class TestAudioCarry:
         assert np.array_equal(decode_frames(segs[0]), frames[0])
 
 
+class TestAudioEndToEnd:
+    """VERDICT r3 item 4: a marked -> leaked clip with an audio track keeps
+    it end-to-end with no ffmpeg — segmenter writes per-segment audio
+    sidecars, the marker propagates them to every variant, and the leak
+    splice muxes JPEG chunks + audio into a standard .mp4 (zero decode)."""
+
+    @pytest.fixture()
+    def av_source(self, tmp_path):
+        """12-frame mp4v video + the reference clip's first 2s of AAC."""
+        rng = np.random.RandomState(3)
+        p = tmp_path / "src.mp4"
+        w = cv2.VideoWriter(str(p), cv2.VideoWriter_fourcc(*"mp4v"), 6, (64, 48))
+        frames = np.repeat(np.repeat(
+            rng.randint(0, 255, (12, 6, 8, 3), dtype=np.uint8), 8, 1), 8, 2)
+        for f in frames:
+            w.write(f)
+        w.release()
+        audio = slice_track_by_time(read_mp4(REF_CLIP).audio(), 0.0, 2.0)
+        add_audio_track(p, audio)
+        return p
+
+    def test_segment_mark_leak_keeps_audio(self, av_source, tmp_path):
+        from vfp_tpu.fingerprint import segment_video
+        from vfp_tpu.fingerprint.marker import mark_segments
+        from vfp_tpu.fingerprint.leak import generate_leak
+        from vfp_tpu.io.ffmpeg import have_ffmpeg
+        from vfp_tpu.io.mp4 import audio_sidecar
+
+        if have_ffmpeg():
+            pytest.skip("container has ffmpeg; this covers the fallback")
+        base = tmp_path / "out"
+        segs = segment_video(av_source, base / "segments", 1.0)
+        assert len(segs) == 2
+        # sidecars exist and their bytes re-slice the source audio exactly
+        src_audio = read_mp4(av_source).audio()
+        sidecar_bytes = b""
+        for s in segs:
+            sc = audio_sidecar(s)
+            assert sc.exists(), s
+            sidecar_bytes += sample_bytes(read_mp4(sc).audio())
+        assert sidecar_bytes == sample_bytes(src_audio)
+
+        marked, payloads, copies = mark_segments(
+            segs, base / "marked_segments", copies=2, batch_size=8)
+        for m in marked:
+            assert audio_sidecar(m.file).exists(), m.file
+        import json
+
+        (base / "segment_copies.json").write_text(json.dumps(copies))
+        leaked, info = generate_leak(base / "segment_copies.json", pattern="10")
+        assert str(leaked).endswith(".mp4")
+        out = read_mp4(leaked)
+        # audio retained, bitwise, in segment order
+        assert out.audio() is not None
+        assert sample_bytes(out.audio()) == sidecar_bytes
+        # video is a stream copy of the selected marked variants: decoding
+        # the leak equals decoding those variants (no lossy generation)
+        want = np.concatenate([
+            decode_frames(base / "marked_segments" / "marked_seg0_copy1.avi"),
+            decode_frames(base / "marked_segments" / "marked_seg1_copy0.avi"),
+        ])
+        assert np.array_equal(decode_frames(leaked), want)
+
+
 class TestLeakIntegration:
     def test_concatenate_segments_stream_copies_mp4(self, mp4v_segments, tmp_path):
         """fingerprint.leak.concatenate_segments on .mp4 without ffmpeg must

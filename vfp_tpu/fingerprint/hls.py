@@ -104,14 +104,28 @@ def write_hls_playlists(marked, hls_dir, copies: int, segment_duration: float = 
         elif src.suffix == ".mp4":
             # no ffmpeg: box-level fragmenting to a standalone fMP4 —
             # same empty_moov+frag shape the reference's ffmpeg call makes
-            # (reference: api/main.py:113-124), zero re-encode (io/mp4.py)
-            from ..io.mp4 import fragment_mp4
+            # (reference: api/main.py:113-124), zero re-encode (io/mp4.py);
+            # sidecar audio (if the segmenter made one) muxes into the .m4s
+            from ..io.mp4 import audio_sidecar, fragment_mp4, read_mp4
 
             name = f"marked_seg{m.segment_number:03d}_copy{m.copy_index}.m4s"
-            fragment_mp4(src, hls_dir / name)
+            extra = []
+            sc = audio_sidecar(src)
+            if sc.exists():
+                at = read_mp4(sc).audio()
+                if at is not None:
+                    extra.append(at)
+            fragment_mp4(src, hls_dir / name, extra_tracks=extra)
         else:
             name = f"marked_seg{m.segment_number:03d}_copy{m.copy_index}{src.suffix}"
             shutil.copy2(src, hls_dir / name)
+            from ..io.mp4 import audio_sidecar
+
+            sc = audio_sidecar(src)
+            if sc.exists():
+                # audio rides into the serving dir so /download-view splices
+                # keep it (service.download_view -> concatenate_segments)
+                shutil.copy2(sc, audio_sidecar(hls_dir / name))
         variant_files[m.segment_number][m.copy_index] = name
         segment_map[name] = src.name
 

@@ -62,6 +62,35 @@ def concatenate_segments(segment_files, output_file):
             except IOError as e:
                 logger.warning("box-level mp4 concat failed (%s); "
                                "falling back to frame splice", e)
+        if all(str(s).endswith(".avi") for s in segment_files):
+            # MJPEG-AVI variants -> standard .mp4 leak: JPEG chunks become
+            # 'jpeg' samples (stream copy), sidecar audio muxes back in
+            try:
+                from ..io.mp4 import (audio_sidecar, read_mp4,
+                                      track_from_mjpeg_avi, write_mp4)
+
+                video = None
+                audio = None
+                for seg in segment_files:
+                    vt = track_from_mjpeg_avi(seg)
+                    if video is None:
+                        video = vt
+                    else:
+                        video.samples.extend(vt.samples)
+                    sc = audio_sidecar(seg)
+                    if sc.exists():
+                        at = read_mp4(sc).audio()
+                        if at is not None:
+                            if audio is None:
+                                audio = at
+                            else:
+                                audio.samples.extend(at.samples)
+                tracks = [video] + ([audio] if audio is not None else [])
+                write_mp4(output_file, tracks)
+                return output_file
+            except IOError as e:
+                logger.warning("avi->mp4 chunk-copy mux failed (%s); "
+                               "falling back to frame splice", e)
     if str(output_file).endswith(".avi"):
         from ..io.avi import splice_mjpeg_avis
 
@@ -152,7 +181,15 @@ def generate_leak(
     marked_dir = Path(marked_dir) if marked_dir else base / "marked_segments"
     files, copy_pattern = select_copies(info, marked_dir, pattern, random_seed)
     if output_file is None:
-        ext = ".mp4" if have_ffmpeg() else Path(files[0]).suffix
+        if have_ffmpeg():
+            ext = ".mp4"
+        else:
+            from ..io.mp4 import audio_sidecar
+
+            # .mp4 carries the audio sidecars back in; otherwise keep the
+            # variants' own container for the chunk-level splice
+            ext = ".mp4" if all(audio_sidecar(f).exists() for f in files) \
+                else Path(files[0]).suffix
         output_file = base / f"leaked_video{ext}"
     concatenate_segments(files, output_file)
     leak_info = {

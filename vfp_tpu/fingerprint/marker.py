@@ -270,10 +270,22 @@ def mark_segments(
                 wq.put(("mark", mm, handle, writers, todo, paths))
                 ss["queue_wait"] += time.perf_counter() - t_qw
             wq.put(("close", writers, paths))
+        # audio rides along: every variant of this segment shares the source
+        # segment's audio sidecar (io/mp4.py audio_sidecar; splice paths mux
+        # it back into the leaked/downloaded file)
+        from ..io.mp4 import audio_sidecar
+
+        src_audio = audio_sidecar(seg_file)
         seg_entry = []
         for copy_index in range(copies):
             payload = payload_for_segment(seg_idx, copy_index)
             out_file = marked_dir / f"marked_seg{seg_idx}_copy{copy_index}{out_ext}"
+            if src_audio.exists():
+                dst_audio = audio_sidecar(out_file)
+                if not dst_audio.exists():
+                    import shutil
+
+                    shutil.copy2(src_audio, dst_audio)
             info = MarkedSegment(
                 file=str(out_file),
                 segment_number=seg_idx,

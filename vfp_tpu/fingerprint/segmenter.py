@@ -40,6 +40,7 @@ def segment_video(
 
     reader = open_reader(input_file)
     n_per = frames_per_segment(reader.fps, segment_duration)
+    fps = reader.fps
     paths = []
     idx = 0
     try:
@@ -63,4 +64,28 @@ def segment_video(
             idx += 1
     finally:
         reader.close()
+    _write_audio_sidecars(input_file, paths, n_per, fps)
     return sorted(paths)
+
+
+def _write_audio_sidecars(input_file, segment_paths, n_per: int, fps: float):
+    """Stream-copy the source's audio into per-segment sidecar files.
+
+    cv2 re-encode drops audio, so the audio slice for segment i (time range
+    [i, i+1) * n_per/fps, matching the frame-exact video grid) rides in
+    ``segment_i.audio.mp4`` and is muxed back by the splice/download paths
+    (io/mp4.py audio_sidecar).  No-op when the source has no parseable
+    audio track (non-MP4 input, video-only file)."""
+    try:
+        from ..io.mp4 import audio_sidecar, read_mp4, slice_track_by_time, write_mp4
+
+        audio = read_mp4(input_file).audio()
+    except Exception:
+        return
+    if audio is None or not audio.samples or not fps:
+        return
+    seg_seconds = n_per / fps
+    for i, seg in enumerate(segment_paths):
+        part = slice_track_by_time(audio, i * seg_seconds, (i + 1) * seg_seconds)
+        if part.samples:
+            write_mp4(audio_sidecar(seg), [part])

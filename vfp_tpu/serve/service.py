@@ -257,6 +257,13 @@ class VfpService:
             if name is not None:
                 files.append(self.hls_dir / name)
         ext = files[0].suffix if files and files[0].suffix in (".avi", ".rawv") else ".mp4"
+        if ext == ".avi":
+            from ..io.mp4 import audio_sidecar
+
+            # sidecar audio present: deliver a standard .mp4 that carries it
+            # (concatenate_segments muxes JPEG chunks + audio, zero decode)
+            if files and all(audio_sidecar(f).exists() for f in files):
+                ext = ".mp4"
         out = self.data_dir / f"view_{view_id}{ext}"
         concatenate_segments(files, out)
         return out
