@@ -66,6 +66,44 @@ def avi_meta(path) -> dict:
         return meta
 
 
+def iter_video_chunk_spans(path):
+    """Yield (offset, size) of each compressed video frame in the movi list
+    — the lazy counterpart of iter_video_chunks, for remuxers that stream
+    sample bytes later (io/mp4.py track_from_mjpeg_avi)."""
+    with open(path, "rb") as f:
+        if _read_exact(f, 4) != b"RIFF":
+            raise IOError(f"not a RIFF file: {path}")
+        f.read(4)
+        if _read_exact(f, 4) != b"AVI ":
+            raise IOError(f"not an AVI: {path}")
+        stack = []
+        in_movi = False
+        while True:
+            while stack and f.tell() >= stack[-1]:
+                if len(stack) == 1:
+                    in_movi = False
+                stack.pop()
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            fourcc, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if fourcc == b"LIST":
+                kind = _read_exact(f, 4)
+                end = f.tell() + size - 4 + (size & 1)
+                if kind == b"movi":
+                    in_movi = True
+                    stack = [end]
+                elif in_movi and kind == b"rec ":
+                    stack.append(end)
+                else:
+                    f.seek(size - 4 + (size & 1), 1)
+            elif in_movi and fourcc[2:] in (b"dc", b"db"):
+                yield f.tell(), size
+                f.seek(size + (size & 1), 1)
+            else:
+                f.seek(size + (size & 1), 1)
+
+
 def iter_video_chunks(path):
     """Yield each compressed video frame (bytes) from an AVI's movi list.
 

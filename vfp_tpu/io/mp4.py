@@ -662,7 +662,7 @@ def track_from_mjpeg_avi(path, timescale: int = 600) -> Track:
     every AVI '00dc' JPEG chunk becomes one all-sync sample (io/avi.py does
     the RIFF walk).  This is what lets the no-ffmpeg AVI marking chain emit
     standard .mp4 leaks/downloads that still carry audio — no decode."""
-    from .avi import avi_meta, iter_video_chunks
+    from .avi import avi_meta, iter_video_chunk_spans
 
     meta = avi_meta(path)
     if not meta["mjpeg"]:
@@ -672,9 +672,9 @@ def track_from_mjpeg_avi(path, timescale: int = 600) -> Track:
     tr = Track(handler=b"vide", timescale=timescale,
                stsd=_jpeg_stsd(meta["width"], meta["height"]),
                width=float(meta["width"]), height=float(meta["height"]))
-    for jpeg in iter_video_chunks(path):
-        tr.samples.append(Sample(src=None, offset=0, size=len(jpeg),
-                                 duration=dur, data=jpeg))
+    path = str(path)
+    for off, size in iter_video_chunk_spans(path):
+        tr.samples.append(Sample(src=path, offset=off, size=size, duration=dur))
     return tr
 
 
