@@ -204,6 +204,49 @@ class TestWorkflow:
         assert status == 200 and len(data) > 1000
 
 
+class TestServeAudio:
+    def test_upload_with_audio_download_keeps_it(self, tmp_path):
+        """Full service chain on an A/V source: upload -> per-segment mark ->
+        start-view -> /download-view returns an .mp4 whose audio equals the
+        source's, bitwise (no-ffmpeg audio passthrough, VERDICT r3 item 4)."""
+        import cv2
+
+        from vfp_tpu.io.ffmpeg import have_ffmpeg
+        from vfp_tpu.io.mp4 import add_audio_track, read_mp4, slice_track_by_time
+        from vfp_tpu.serve.service import VfpService
+
+        if have_ffmpeg():
+            pytest.skip("container has ffmpeg; this covers the fallback")
+        rng = np.random.RandomState(5)
+        src = tmp_path / "src.mp4"
+        w = cv2.VideoWriter(str(src), cv2.VideoWriter_fourcc(*"mp4v"), 6, (64, 48))
+        for f in np.repeat(np.repeat(
+                rng.randint(0, 255, (12, 6, 8, 3), dtype=np.uint8), 8, 1), 8, 2):
+            w.write(f)
+        w.release()
+        ref_audio = slice_track_by_time(
+            read_mp4("/root/reference/tests/media/in.mp4").audio(), 0.0, 2.0)
+        add_audio_track(src, ref_audio)
+
+        def track_bytes(t):
+            out = b""
+            for s in t.samples:
+                with open(s.src, "rb") as f:
+                    f.seek(s.offset)
+                    out += f.read(s.size)
+            return out
+
+        want = track_bytes(read_mp4(src).audio())
+        svc = VfpService(tmp_path / "data", num_copies=2, segment_duration=1.0)
+        svc.process_upload(src)
+        view = svc.start_view("mallory")
+        out = svc.download_view(view["view_id"])
+        assert out.suffix == ".mp4"
+        got = read_mp4(out).audio()
+        assert got is not None
+        assert track_bytes(got) == want
+
+
 class TestFailureFallback:
     def test_bad_segment_falls_back_to_unmarked(self, tmp_path, rng):
         """A segment that fails to mark is served unmarked (reference:
