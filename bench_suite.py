@@ -240,9 +240,11 @@ def bench_embed_4k(quick):
 
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
-    b = 2 if quick else 8
     # u8 carry, like embed_1080p: an f32 carry adds ~150 MB/frame of HBM
-    # clip/cast traffic at 4K and under-reported this bench by ~2x (r3 judge)
+    # clip/cast traffic at 4K and under-reported this bench by ~2x (r3 judge).
+    # b=4 chosen by chip A/B (r4): 34.1 Gpix/s vs 22.6 at b=8 / 26.6 at b=2 —
+    # the 4K strip working set at b>=8 spills past what the scheduler overlaps
+    b = 2 if quick else 4
     frames = jnp.asarray(natural_frames(rng, b, 2160, 3840))
     wm = Shuffler(key=0).generate_wm(
         payload_for_segment(1, 2), codec.wm_capacity((2160, 3840, 3)))
@@ -255,7 +257,7 @@ def bench_embed_4k(quick):
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
-    iters = 2 if quick else 48
+    iters = 2 if quick else 96
     int(loop(frames, wm, iters))
     t0 = time.perf_counter()
     int(loop(frames, wm, iters))
