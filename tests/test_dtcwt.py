@@ -310,3 +310,30 @@ class TestWmSpectrumHoist:
             np.testing.assert_array_equal(
                 eager, np.asarray(codec.mark_frames(
                     jnp.asarray(frames), jnp.asarray(wm.reshape(-1)))))
+
+    def test_id_cache_skips_host_transfer(self, rng):
+        """A device-resident wm passed repeatedly by object identity must
+        not be re-materialized to host bytes per call (ADVICE r4): the
+        identity front-cache answers before np.asarray runs."""
+        import vfp_tpu.wm.dtcwt_codecs as dc
+
+        codec = dc.DtcwtKey()
+        cap = codec.wm_capacity((64, 112, 3))
+        wm = jnp.asarray(rng.randint(0, 2, cap).astype(np.float32))
+        first = codec.wm_hp_device((64, 112), wm)
+        # wipe the content cache: only the identity cache can answer now
+        dc._WM_HP_CACHE.clear()
+        calls = []
+        orig = np.asarray
+
+        def spy(a, *args, **kw):
+            calls.append(1)
+            return orig(a, *args, **kw)
+
+        np_asarray, np.asarray = np.asarray, spy
+        try:
+            second = codec.wm_hp_device((64, 112), wm)
+        finally:
+            np.asarray = np_asarray
+        assert second is first
+        assert not calls  # no host materialization happened

@@ -304,3 +304,80 @@ class TestLeakIntegration:
         for i, n in enumerate(names):
             assert np.array_equal(
                 decode_frames(tmp_path / "hls" / n), frames[i])
+
+
+class TestAdviceR4:
+    """Fixes from the round-4 advisor findings (ADVICE.md)."""
+
+    def test_largesize_mdat_roundtrip(self, mp4v_segments, tmp_path, monkeypatch):
+        """>4GiB outputs must emit a 64-bit largesize mdat header (and co64)
+        instead of overflowing the u32 size field.  The threshold is shrunk
+        so the path runs on a small file."""
+        import vfp_tpu.io.mp4 as m
+
+        monkeypatch.setattr(m, "_MDAT_U32_MAX", 64)
+        segs, frames = mp4v_segments
+        out = tmp_path / "big.mp4"
+        concat_mp4(segs, out)
+        raw = out.read_bytes()
+        # first mdat header uses size==1 + 64-bit largesize
+        pos = raw.find(b"mdat") - 4
+        assert raw[pos:pos + 4] == b"\x00\x00\x00\x01"
+        import struct as _s
+
+        assert _s.unpack_from(">Q", raw, pos + 8)[0] > 16
+        # sample tables still resolve the right bytes
+        got = read_mp4(out)
+        want = b"".join(sample_bytes(read_mp4(s).video()) for s in segs)
+        assert sample_bytes(got.video()) == want
+        # and a real demuxer still decodes it bit-identically
+        assert np.array_equal(decode_frames(out), np.concatenate(frames))
+
+    def test_multi_trun_offset_carry(self):
+        """A traf with several truns lacking the data-offset flag continues
+        after the previous run's bytes (ISO 14496-12 8.8.8), not from the
+        base offset again."""
+        import struct as _s
+
+        from vfp_tpu.io.mp4 import Track, _box, _full, _parse_fragments
+
+        sizes1, sizes2 = [5, 7], [11, 3]
+
+        def build(moof_len):
+            tfhd = _full(b"tfhd", 0, 0x020000, _s.pack(">I", 1))
+            trun1 = _full(b"trun", 1, 0x000001 | 0x000200,
+                          _s.pack(">Ii", len(sizes1), moof_len + 8)
+                          + b"".join(_s.pack(">I", s) for s in sizes1))
+            trun2 = _full(b"trun", 1, 0x000200,  # no data-offset flag
+                          _s.pack(">I", len(sizes2))
+                          + b"".join(_s.pack(">I", s) for s in sizes2))
+            mfhd = _full(b"mfhd", 0, 0, _s.pack(">I", 1))
+            return _box(b"moof", mfhd + _box(b"traf", tfhd + trun1 + trun2))
+
+        moof = build(len(build(0)))
+        payload = bytes(range(sum(sizes1) + sum(sizes2)))
+        buf = moof + _box(b"mdat", payload)
+        tr = Track(handler=b"vide", timescale=600, stsd=b"", track_id=1)
+        _parse_fragments(buf, "synthetic", {1: tr})
+        offs = [s.offset for s in tr.samples]
+        base = len(moof) + 8
+        assert offs == [base, base + 5, base + 12, base + 23]
+
+    def test_leak_concat_accepts_m4s(self, mp4v_segments, tmp_path):
+        """concatenate_segments must keep .m4s inputs on the stream-copy
+        branch (they are what the no-ffmpeg HLS writer emits)."""
+        from vfp_tpu.fingerprint.leak import concatenate_segments
+        from vfp_tpu.io.ffmpeg import have_ffmpeg
+
+        if have_ffmpeg():
+            pytest.skip("container has ffmpeg; this covers the fallback")
+        segs, frames = mp4v_segments
+        m4ss = []
+        for i, s in enumerate(segs):
+            q = tmp_path / f"v{i}.m4s"
+            fragment_mp4(s, q)
+            m4ss.append(q)
+        out = tmp_path / "leak.mp4"
+        concatenate_segments(m4ss, out)
+        # exact decode equality == the lossy frame-splice fallback NOT taken
+        assert np.array_equal(decode_frames(out), np.concatenate(frames))

@@ -53,7 +53,10 @@ def concatenate_segments(segment_files, output_file):
         if have_ffmpeg():
             concat_mp4_ffmpeg(segment_files, output_file)
             return output_file
-        if all(str(s).endswith(".mp4") for s in segment_files):
+        # .m4s variants (the no-ffmpeg fMP4 shape write_hls_playlists emits)
+        # parse through the same box-level path — keep them on stream copy
+        # so download_view splices never drop muxed audio (ADVICE r4)
+        if all(str(s).endswith((".mp4", ".m4s")) for s in segment_files):
             try:
                 from ..io.mp4 import concat_mp4
 

@@ -225,6 +225,7 @@ def _parse_fragments(data: bytes, path: str, tracks_by_id: dict):
             track = None
             base_offset = moof_start  # default-base-is-moof
             d_dur = d_size = d_flags = 0
+            run_end = None  # running offset across truns (ISO 14496-12 8.8.8)
             for t3, h3, s3, e3 in iter_boxes(data, s2 + h2, e2):
                 p = s3 + h3
                 if t3 == b"tfhd":
@@ -249,10 +250,15 @@ def _parse_fragments(data: bytes, path: str, tracks_by_id: dict):
                     flags = int.from_bytes(data[p + 1: p + 4], "big")
                     n = _u32(data, p + 4)
                     q = p + 8
-                    off = base_offset
                     if flags & 0x000001:
-                        off += struct.unpack_from(">i", data, q)[0]
+                        off = base_offset + struct.unpack_from(">i", data, q)[0]
                         q += 4
+                    elif run_end is not None:
+                        # no data-offset: this run continues where the
+                        # previous trun's bytes ended (ADVICE r4)
+                        off = run_end
+                    else:
+                        off = base_offset
                     first_flags = None
                     if flags & 0x000004:
                         first_flags = _u32(data, q)
@@ -277,13 +283,30 @@ def _parse_fragments(data: bytes, path: str, tracks_by_id: dict):
                             src=path, offset=off, size=size, duration=dur,
                             sync=not (sflags & 0x00010000), cts=cts))
                         off += size
+                    run_end = off
 
 
 def read_mp4(path) -> Mp4File:
     """Parse an MP4's sample tables — progressive (stbl) or fragmented
-    (moof/trun) — leaving media bytes on disk."""
+    (moof/trun) — leaving media bytes on disk.  The file is mapped read-only
+    (mmap), so only the box-table pages actually touched are paged in; a
+    multi-GB mdat never enters RAM (ADVICE r4)."""
+    import mmap
+
     path = str(path)
-    data = Path(path).read_bytes()
+    with open(path, "rb") as f:
+        try:
+            data = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):  # zero-length / unmappable file
+            data = f.read()
+        try:
+            return _read_mp4_buf(data, path)
+        finally:
+            if isinstance(data, mmap.mmap):
+                data.close()
+
+
+def _read_mp4_buf(data, path: str) -> Mp4File:
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise IOError(f"no moov box in {path} (truncated?)")
@@ -454,6 +477,10 @@ def _interleave(tracks, chunk_ticks: float = 1.0):
 
 FTYP = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
 
+# largest mdat (header included) representable with a u32 size field; tests
+# shrink this to drive the 64-bit largesize path without a real 4GiB file
+_MDAT_U32_MAX = 0xFFFFFFFF
+
 
 def write_mp4(path, tracks, timescale: int = 1000):
     """Write a progressive MP4 (ftyp + mdat + moov), streaming sample bytes
@@ -468,11 +495,19 @@ def write_mp4(path, tracks, timescale: int = 1000):
             handles[name] = open(name, "rb")
         return handles[name]
 
+    # mdat payload size is known upfront from the sample tables; pick a
+    # 64-bit largesize header when 8 + payload would overflow the u32 size
+    # field (ADVICE r4: a >4GiB concat used to crash after writing all media)
+    payload_total = sum(s.size for tr in tracks for s in tr.samples)
+    big_mdat = 8 + payload_total > _MDAT_U32_MAX
     try:
         with open(path, "wb") as out:
             out.write(FTYP)
             mdat_header_pos = out.tell()
-            out.write(struct.pack(">I4s", 0, b"mdat"))
+            if big_mdat:
+                out.write(struct.pack(">I4sQ", 1, b"mdat", 0))
+            else:
+                out.write(struct.pack(">I4s", 0, b"mdat"))
             chunk_offsets = [[] for _ in tracks]
             chunk_runs = [[] for _ in tracks]
             for ti, lo, hi in order:
@@ -493,10 +528,14 @@ def write_mp4(path, tracks, timescale: int = 1000):
                         remaining -= len(b)
             mdat_end = out.tell()
             out.seek(mdat_header_pos)
-            out.write(struct.pack(">I", mdat_end - mdat_header_pos))
+            if big_mdat:
+                out.write(struct.pack(">I4sQ", 1, b"mdat",
+                                      mdat_end - mdat_header_pos))
+            else:
+                out.write(struct.pack(">I", mdat_end - mdat_header_pos))
             out.seek(mdat_end)
 
-            co64 = mdat_end > 0xFFFFFFF0
+            co64 = mdat_end > _MDAT_U32_MAX - 15
             traks = b""
             max_dur = 0
             for ti, tr in enumerate(tracks):

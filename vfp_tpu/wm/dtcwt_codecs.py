@@ -63,6 +63,11 @@ def _fold_corners(coeff: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 # watermark-spectrum device constants, keyed by plane bytes (wm_hp_device)
 _WM_HP_CACHE: dict = {}
+# object-identity front cache: (fast_dots, hw, id(wm)) -> (wm ref, spectrum).
+# Holding the wm reference keeps the id() valid; the hit avoids materializing
+# np.asarray(wm) — for a device-resident wm that is a full-plane device->host
+# transfer per call (~seconds over the ~1 MB/s relay; ADVICE r4).
+_WM_ID_CACHE: dict = {}
 
 
 @dataclass(frozen=True)
@@ -298,6 +303,10 @@ class _DtcwtBase:
         array as an argument costs no transfer."""
         import numpy as np
 
+        idk = (self.fast_dots, hw, id(wm))
+        id_hit = _WM_ID_CACHE.get(idk)
+        if id_hit is not None and id_hit[0] is wm:
+            return id_hit[1]
         arr = np.asarray(wm, np.float32)
         ck = (self.fast_dots, hw, arr.shape, hash(arr.tobytes()))
         hit = _WM_HP_CACHE.get(ck)
@@ -313,6 +322,9 @@ class _DtcwtBase:
             if len(_WM_HP_CACHE) > 8:
                 _WM_HP_CACHE.clear()
             _WM_HP_CACHE[ck] = hit
+        if len(_WM_ID_CACHE) > 8:
+            _WM_ID_CACHE.clear()
+        _WM_ID_CACHE[idk] = (wm, hit)
         return hit
 
     @partial(jax.jit, static_argnums=0)
