@@ -337,3 +337,53 @@ class TestWmSpectrumHoist:
             np.asarray = np_asarray
         assert second is first
         assert not calls  # no host materialization happened
+
+
+class TestFusedMasks:
+    """Single-launch mask kernel (kernels/dtcwt_masks.py) vs the XLA chain
+    (analysis_qshift_hp -> |q2c| -> mean2x2 -> rebin -> ceil/step): the
+    quantized masks must be IDENTICAL — boundary semantics included
+    (reflect-101 top row / left col, reference cv2.filter2D anchoring)."""
+
+    def test_matches_xla_chain(self, rng):
+        from vfp_tpu.kernels.dtcwt_masks import (dtcwt_qshift_masks,
+                                                 masks_eligible)
+        from vfp_tpu.ops.dtcwt import Transform2d, q2c_magnitudes
+        from vfp_tpu.ops.filters import filter2d_mean2x2, rebin_mean
+
+        for h, w in ((64, 128), (68, 192), (132, 256)):
+            assert masks_eligible(h, w), (h, w)
+            ll4 = jnp.asarray(rng.rand(2, 4, h, w).astype(np.float32) * 100)
+            t = Transform2d(backend="xla")
+            hp2, _ = t.analysis_qshift_hp(ll4)
+            m = filter2d_mean2x2(q2c_magnitudes(hp2))
+            shape3 = ((hp2.shape[-2] + 1) // 2, (hp2.shape[-1] + 1) // 2)
+            want = np.asarray(jnp.ceil(rebin_mean(m, shape3) / 5.0))
+            got = np.asarray(dtcwt_qshift_masks(ll4, step=5.0, interpret=True))
+            np.testing.assert_array_equal(got, want)
+
+    def test_codec_masks_equal_through_kernel(self, rng):
+        """_masks3_kernel (zero_guard / normalization outside the kernel)
+        must equal _masks3_from_mags for both codec variants."""
+        import vfp_tpu.wm.dtcwt_codecs as dc
+        from vfp_tpu.ops.dtcwt import Transform2d, q2c_magnitudes
+
+        ll4 = jnp.asarray(rng.rand(2, 4, 64, 128).astype(np.float32) * 100)
+        t = Transform2d(backend="xla")
+        hp2, _ = t.analysis_qshift_hp(ll4)
+        for cls in (dc.DtcwtKey, dc.DtcwtImg):
+            for guard in (False, True):
+                codec = cls()
+                want = np.asarray(codec._masks3_from_mags(
+                    q2c_magnitudes(hp2), (16, 32), zero_guard=guard))
+                # route the kernel path explicitly (CPU -> interpret)
+                from vfp_tpu.kernels.dtcwt_masks import dtcwt_qshift_masks
+                m = dtcwt_qshift_masks(ll4, step=codec.step, interpret=True,
+                                       fast=False)
+                if guard:
+                    m = jnp.where(m == 0, 0.01, m)
+                if codec.normalize_masks:
+                    mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+                    m = m / jnp.maximum(12.0, mx)
+                got = np.asarray(jnp.moveaxis(m, 1, -1))
+                np.testing.assert_array_equal(got, want)

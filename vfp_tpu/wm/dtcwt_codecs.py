@@ -132,6 +132,30 @@ class _DtcwtBase:
         hp2 = jnp.moveaxis(hp2, -1, 1)  # [B, 6, h2, w2]
         return self._masks3_from_mags(hp2, shape3, zero_guard)
 
+    def _masks3_kernel(self, y_ll1: jnp.ndarray, zero_guard: bool = False):
+        """Fused-kernel mask path: y tree lowpasses [B, 4, h1, w1] ->
+        [B, h3, w3, 6] masks in ONE launch (kernels/dtcwt_masks.py), or
+        None off the kernel path.  Bit-identical to the XLA chain on every
+        tested shape (ceil'd quantization); the ==0 guard and the img
+        variant's normalization stay here to preserve the reference's
+        operation order (dtcwt_img_decoder.py:25-26)."""
+        from ..kernels.dtcwt_masks import dtcwt_qshift_masks, masks_eligible
+
+        h1, w1 = y_ll1.shape[-2], y_ll1.shape[-1]
+        if not masks_eligible(h1, w1):
+            return None
+        mode = self._t()._kernel_mode(h1, w1)
+        if mode is None:
+            return None
+        m = dtcwt_qshift_masks(y_ll1, step=self.step, interpret=mode,
+                               fast=self.fast_dots)
+        if zero_guard:
+            m = jnp.where(m == 0, 0.01, m)
+        if self.normalize_masks:
+            mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+            m = m / jnp.maximum(12.0, mx)
+        return jnp.moveaxis(m, 1, -1)  # [B, h3, w3, 6]
+
     def _masks3_from_mags(self, hp2, shape3, zero_guard: bool = False) -> jnp.ndarray:
         """[B, 6, h2, w2] subband magnitudes -> [B, h3, w3, 6] masks."""
         m = filter2d_mean2x2(hp2)
@@ -173,11 +197,17 @@ class _DtcwtBase:
         (cropped to ``s0``).  The Y level-2 analysis runs highpass-only:
         the mask path never reads its ll band."""
         t = self._t()
-        y_hp2, s1 = t.analysis_qshift_hp(y_ll1)
-        h2, w2 = y_hp2.shape[-2], y_hp2.shape[-1]
-        # level-3 grid geometry (_pad_even rules), without running level 3
-        shape3 = ((h2 + 1) // 2, (w2 + 1) // 2)
-        masks = self._masks3_from_mags(q2c_magnitudes(y_hp2), shape3)
+        masks = self._masks3_kernel(y_ll1)
+        if masks is not None:
+            h2, w2 = y_ll1.shape[-2] // 2, y_ll1.shape[-1] // 2
+            s1 = (y_ll1.shape[-2], y_ll1.shape[-1])
+            shape3 = (masks.shape[1], masks.shape[2])
+        else:
+            y_hp2, s1 = t.analysis_qshift_hp(y_ll1)
+            h2, w2 = y_hp2.shape[-2], y_hp2.shape[-1]
+            # level-3 grid geometry (_pad_even rules), without running level 3
+            shape3 = ((h2 + 1) // 2, (w2 + 1) // 2)
+            masks = self._masks3_from_mags(q2c_magnitudes(y_hp2), shape3)
         wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
         wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
         delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
@@ -203,12 +233,14 @@ class _DtcwtBase:
 
     def _decode_from_ll1(self, y_ll1: jnp.ndarray, u_ll1: jnp.ndarray) -> jnp.ndarray:
         t = self._t()
-        y_hp2, _ = t.analysis_qshift_hp(y_ll1)  # masks never read the ll band
         u_ll2, _ = t.analysis_qshift(u_ll1, lowpass_only=True)
         u_hp3, _ = t.analysis_qshift_hp(u_ll2)  # only the subband coeffs used
         shape3 = (u_hp3.shape[-2], u_hp3.shape[-1])
-        masks = self._masks3_from_mags(q2c_magnitudes(y_hp2), shape3,
-                                       zero_guard=True)
+        masks = self._masks3_kernel(y_ll1, zero_guard=True)
+        if masks is None or masks.shape[1:3] != shape3:
+            y_hp2, _ = t.analysis_qshift_hp(y_ll1)  # masks never read the ll band
+            masks = self._masks3_from_mags(q2c_magnitudes(y_hp2), shape3,
+                                           zero_guard=True)
         coeff = q2c_planes(u_hp3) / masks.astype(jnp.complex64) / self.alpha
         hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
         folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
