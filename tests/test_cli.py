@@ -121,3 +121,62 @@ class TestDurabilityCorr:
         report = json.loads(out)
         assert report["is_successful"] and report["segment_pairs"] >= 3
         assert report["reencoded_avg_frequency"] >= 0.5
+
+
+class TestDistributedCli:
+    def test_hls_mark_distributed_matches_serial(self, source_video, tmp_path,
+                                                 capsys):
+        """End-to-end `hls-mark --distributed`: two REAL processes, a
+        localhost jax.distributed coordinator, one shared output dir —
+        manifests and marked bytes byte-identical to the serial run
+        (VERDICT r4 item 6; reference semantics: one marking sweep split
+        across hosts, tests/mark_video_to_hls.py)."""
+        import os
+        import socket
+        import subprocess
+        import sys as _sys
+        from pathlib import Path
+
+        serial = tmp_path / "serial"
+        main([
+            "hls-mark", str(source_video), str(serial),
+            "--copies", "2", "--segment-duration", "1", "--batch-size", "8",
+        ])
+        capsys.readouterr()
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        dist = tmp_path / "dist"
+        repo = str(Path(__file__).resolve().parent.parent)
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)  # no virtual mesh in the rank processes
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        procs = []
+        for pid in range(2):
+            procs.append(subprocess.Popen(
+                [_sys.executable, "-m", "vfp_tpu.cli", "--platform", "cpu",
+                 "hls-mark", str(source_video), str(dist),
+                 "--copies", "2", "--segment-duration", "1",
+                 "--batch-size", "8",
+                 "--distributed", "--coordinator", f"127.0.0.1:{port}",
+                 "--num-processes", "2", "--process-id", str(pid)],
+                env=env, cwd=repo,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (o, e) in zip(procs, outs):
+            assert p.returncode == 0, (o.decode()[-1000:], e.decode()[-2000:])
+        assert b"All segments were watermarked successfully!" in outs[0][0]
+        assert b"rank 1: shard done" in outs[1][0]
+
+        for name in ("segment_payloads.json", "segment_copies.json",
+                     "segment_mapping.json"):
+            assert json.loads((serial / name).read_text()) == \
+                json.loads((dist / name).read_text()), name
+        a = sorted((serial / "marked_segments").iterdir())
+        # the distributed dir additionally holds per-rank manifest shards
+        b = sorted(f for f in (dist / "marked_segments").iterdir()
+                   if not f.name.startswith("manifest_rank"))
+        assert [f.name for f in a] == [f.name for f in b] and a
+        for fa, fb in zip(a, b):
+            assert fa.read_bytes() == fb.read_bytes(), fa.name

@@ -387,3 +387,24 @@ class TestFusedMasks:
                     m = m / jnp.maximum(12.0, mx)
                 got = np.asarray(jnp.moveaxis(m, 1, -1))
                 np.testing.assert_array_equal(got, want)
+
+
+class TestFusedDeltaSynthesis:
+    """Single-launch 3-level delta synthesis (kernels/dtcwt_delta.py) must
+    match the 3-kernel chain (syn_q -> syn_q_ll -> syn_legall_ll) to f32
+    rounding — the embed path's linearity identity rides on it."""
+
+    def test_matches_three_stage_chain(self, rng):
+        from vfp_tpu.kernels.dtcwt_delta import dtcwt_delta_synthesis
+        from vfp_tpu.ops.dtcwt import Transform2d
+
+        t = Transform2d(backend="xla")
+        for h3, w3 in ((17, 32), (16, 48), (34, 64)):
+            dsubs = jnp.asarray(rng.randn(2, 12, h3, w3).astype(np.float32))
+            d3 = jnp.concatenate(
+                [jnp.zeros((2, 4, h3, w3), jnp.float32), dsubs], axis=1)
+            dll2 = t.synthesis_qshift(d3)
+            dll1 = t.synthesis_qshift_ll(dll2)
+            want = np.asarray(t.synthesis_legall_ll(dll1))
+            got = np.asarray(dtcwt_delta_synthesis(dsubs, interpret=True))
+            np.testing.assert_allclose(got, want, atol=2e-6)

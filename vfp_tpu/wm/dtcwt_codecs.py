@@ -212,12 +212,39 @@ class _DtcwtBase:
         wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
         delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
         dsubs = c2q_subs(delta6)  # [B, 12, h3, w3]
+        # single-launch fused synthesis (kernels/dtcwt_delta.py) when the
+        # level geometry is exact (no inter-level crops: every dim even at
+        # every level) — one kernel instead of three + the interleave/pad
+        # glue between them
+        mode = self._delta_mode(shape3)
+        if (mode is not None
+                and 2 * shape3[0] == h2 and 2 * shape3[1] == w2
+                and (2 * h2, 2 * w2) == tuple(s1)):
+            from ..kernels.dtcwt_delta import dtcwt_delta_synthesis
+
+            du = dtcwt_delta_synthesis(dsubs, interpret=mode,
+                                       fast=self.fast_dots)
+            return du[..., : s0[0], : s0[1]]
         d3 = jnp.concatenate(
             [jnp.zeros(dsubs.shape[:-3] + (4,) + dsubs.shape[-2:], dsubs.dtype),
              dsubs], axis=-3)
         dll2 = t.synthesis_qshift(d3)[..., :h2, :w2]
         dll1 = t.synthesis_qshift_ll(dll2)[..., : s1[0], : s1[1]]
         return t.synthesis_legall_ll(dll1)[..., : s0[0], : s0[1]]
+
+    def _delta_mode(self, shape3):
+        """None (3-kernel path) or the fused delta-synthesis kernel's
+        ``interpret`` flag — mirrors Transform2d._kernel_mode gating."""
+        from ..kernels.dtcwt_delta import delta_eligible
+
+        if not delta_eligible(*shape3):
+            return None
+        t = self._t()
+        if t.backend == "xla":
+            return None
+        if t.backend == "pallas":
+            return jax.default_backend() != "tpu"
+        return False if jax.default_backend() == "tpu" else None
 
     def _decode_channel_raw(self, y: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """Decode needs only: Y level-2 subbands (masks) and U level-3
