@@ -760,6 +760,88 @@ def bench_concurrent_serve(quick):
     }
 
 
+def bench_view_latency(quick):
+    """Config 5b: per-view playlist/segment latency while an upload is
+    MARKING — the reference's zero-compute-per-view property (SURVEY §3.5,
+    reference api/main.py:715-810): starting a view only writes a history
+    row and serves a text playlist; segment GETs are static file reads.
+    Reported: median/p99 request latency idle vs under concurrent marking
+    (both should be ms-scale and close to each other)."""
+    import shutil
+    import threading
+    import urllib.request
+    import uuid
+
+    import numpy as np
+    from vfp_tpu.io import RawVideoWriter
+    from vfp_tpu.serve.app import make_server
+
+    rng = np.random.RandomState(7)
+    base = Path("bench_tmp_view")
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir()
+    src = base / "src.rawv"
+    with RawVideoWriter(src, 320, 240, fps=6) as w:
+        w.write_batch(natural_frames(rng, 24, 240, 320))
+    payload = src.read_bytes()
+
+    srv = make_server("127.0.0.1", 0, base / "data", num_copies=3,
+                      segment_duration=1.0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+
+    def post(path, body, ctype="application/json"):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}", body, {"Content-Type": ctype})
+        with urllib.request.urlopen(req) as r:
+            return json.loads(r.read())
+
+    def upload():
+        boundary = uuid.uuid4().hex
+        body = (f"--{boundary}\r\nContent-Disposition: form-data; "
+                f'name="file"; filename="src.rawv"\r\n\r\n').encode() + payload \
+               + f"\r\n--{boundary}--\r\n".encode()
+        return post("/upload", body,
+                    f"multipart/form-data; boundary={boundary}")
+
+    upload()  # populate hls dir + mapping
+
+    def one_view_cycle():
+        """start-view + playlist GET + first segment GET; returns seconds."""
+        t0 = time.perf_counter()
+        out = post("/start-view", json.dumps({"username": "bench"}).encode())
+        url = out["view_url"] if "view_url" in out else f"/view/{out['view_id']}"
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{url}") as r:
+            m3u8 = r.read().decode()
+        seg = next(l for l in m3u8.splitlines() if l and not l.startswith("#"))
+        seg = seg if seg.startswith("/") else "/hls/" + seg.rsplit("/", 1)[-1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{seg}") as r:
+            r.read()
+        return time.perf_counter() - t0
+
+    n = 10 if quick else 40
+    idle = sorted(one_view_cycle() for _ in range(n))
+
+    marking = threading.Thread(target=upload)
+    marking.start()
+    loaded = []
+    while marking.is_alive() and len(loaded) < 4 * n:
+        loaded.append(one_view_cycle())
+    mark_alive_samples = len(loaded)
+    marking.join()
+    srv.shutdown()
+    shutil.rmtree(base, ignore_errors=True)
+    loaded = sorted(loaded) or [float("nan")]
+    pct = lambda xs, p: round(xs[min(len(xs) - 1, int(p * len(xs)))] * 1e3, 2)
+    return {
+        "idle_view_ms_p50": pct(idle, 0.5),
+        "idle_view_ms_p99": pct(idle, 0.99),
+        "marking_view_ms_p50": pct(loaded, 0.5),
+        "marking_view_ms_p99": pct(loaded, 0.99),
+        "samples_while_marking": mark_alive_samples,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default="default", choices=["default", "cpu"])
@@ -839,6 +921,7 @@ def main():
         ("leak_trace", bench_leak_trace),
         ("leak_trace_host", bench_leak_trace_host),
         ("concurrent_serve", bench_concurrent_serve),
+        ("serve_view_latency", bench_view_latency),
     ]:
         if wanted is not None and not any(s in name for s in wanted):
             continue

@@ -528,3 +528,62 @@ class TestWireAwareCaches:
         monkeypatch.setattr(lowlink, "_BACKEND_OK", False)
         monkeypatch.setattr(lowlink, "_PROBE_RESULT", [True])
         assert lowlink.backend_reachable() is True
+
+
+class TestU8WireContentSweep:
+    """Property sweep for the WIRE_DIR_GAMMA2 flat-block repair gate
+    (VERDICT r4 item 7): the gate was discovered via one grayscale fixture;
+    this pins DECISION identity to the exact path across synthetic content
+    classes spanning the AC(X)/AC(E) ratio the gate thresholds on — flat,
+    near-flat noise at several amplitudes (gate boundary both sides),
+    gradients, checkerboards, and natural-ish texture, in gray (U LL
+    constant — the degenerate direction case) and color."""
+
+    def _content(self, rng, kind, amp, h=64, w=96):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        if kind == "flat":
+            base = np.full((4, h, w), 128.0, np.float32)
+        elif kind == "gradient":
+            base = 60.0 + amp * (xx + yy)[None] / (h + w) * np.ones((4, 1, 1))
+        elif kind == "checker":
+            base = 128.0 + amp * (((yy // 8 + xx // 8) % 2) * 2 - 1)[None] \
+                * np.ones((4, 1, 1), np.float32)
+        elif kind == "noise":
+            base = 128.0 + amp * rng.randn(4, h, w).astype(np.float32)
+        else:
+            raise ValueError(kind)
+        return base
+
+    @pytest.mark.parametrize("color", ["gray", "color"])
+    def test_decision_identity_across_classes(self, rng, color):
+        import jax
+
+        codec = DwtDctSvd()
+        h, w = 64, 96
+        nb = (h // 8) * (w // 8)
+        cap = codec.wm_capacity((h, w, 3))
+        wm = Shuffler(key=0).generate_wm(PAYLOAD, cap)
+        wmf = np.asarray(wm).reshape(-1)
+        cases = ([("flat", 0.0)]
+                 + [("noise", a) for a in (0.25, 1.0, 4.0, 16.0, 48.0)]
+                 + [("gradient", 64.0), ("gradient", 8.0)]
+                 + [("checker", 2.0), ("checker", 24.0)])
+        failures = []
+        for kind, amp in cases:
+            base = self._content(rng, kind, amp)
+            if color == "gray":
+                frames = np.clip(base, 0, 255).astype(np.uint8)[..., None]
+                frames = np.repeat(frames, 3, axis=3)
+            else:
+                chroma = rng.randn(4, 1, 1, 3).astype(np.float32) * 12
+                frames = np.clip(base[..., None] + chroma, 0, 255).astype(np.uint8)
+            got = LowLinkMarker(codec, [wm], batch_size=4,
+                                wire="u8").mark_all(frames)[0]
+            exact = np.asarray(codec.mark_frames(
+                jnp.asarray(frames), jnp.asarray(wmf, jnp.float32)))
+            bits = np.asarray(codec.extract_frames(jnp.asarray(got)))
+            bits_exact = np.asarray(codec.extract_frames(jnp.asarray(exact)))
+            mism = int((bits[:, :nb] != bits_exact[:, :nb]).sum())
+            if mism:
+                failures.append((kind, amp, mism))
+        assert not failures, failures
