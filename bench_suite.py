@@ -145,7 +145,7 @@ def bench_dtcwt_1080p(quick):
 
     codec = DtcwtKey()
     rng = np.random.RandomState(0)
-    b = 4 if quick else 8  # B=16 measured marginally slower steady-state (399 vs 418 fps)
+    b = 4 if quick else 16  # r5 chip A/B: B=16 1957/1833 fps vs B=8 1918/1673 vs B=32 1851/1633
     frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
     wm = jnp.asarray(
         rng.randint(0, 2, codec.wm_capacity((1080, 1920, 3))), jnp.float32)
@@ -396,7 +396,7 @@ def bench_dtcwtimg_1080p(quick):
 
     codec = DtcwtImg()
     rng = np.random.RandomState(0)
-    b = 4 if quick else 8
+    b = 4 if quick else 16  # shares the DtcwtKey fast paths; same B=16 sweet spot
     frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
     # real payload chain (reference: block_shuffler.py/de_block_shuffler.py):
     # a 27x48 binary image -> keyed block scramble -> +-255 signed plane;
