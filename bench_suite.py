@@ -287,7 +287,11 @@ def bench_embed_8k(quick):
 
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
-    b = 1 if quick else 2
+    # r5 chip sweep (tools/bench_8k_sweep.py): B=2 29.0 / B=3 32.7 / B=4
+    # 35.4 / B=6 37.9 / B=8 40.0 Gpix/s — the r4 "8K droop" was just the
+    # batch setting (B=12/16 compiles exceeded 18 min on this host; B=8 is
+    # the decided spot)
+    b = 1 if quick else 8
     # u8 carry (see embed_4k note)
     frames = jnp.asarray(natural_frames(rng, b, 4320, 7680))
     wm = Shuffler(key=0).generate_wm(

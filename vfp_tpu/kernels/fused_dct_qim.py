@@ -353,6 +353,11 @@ def fused_dct_qim_mark(planes: jnp.ndarray, wm2d: jnp.ndarray, alpha: float = 20
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
+        # planes -> out alias: grid cells read/write disjoint windows, so
+        # in-place is exact; XLA copy-inserts for live callers.  ~30% of a
+        # mark kernel's wall clock is the separate output buffer
+        # (tools/probe_strip.py; see fused_embed.fused_mark_planar).
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, wm3d, means, jnp.asarray(s), jnp.asarray(st), jnp.asarray(k2),
       jnp.asarray(w17), jnp.asarray(b2), jnp.asarray(sumsel))

@@ -248,6 +248,16 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
     back (exact — see padded_width).  Note: embeds may pick a different
     (parity-equivalent) QIM bin than the multi-op path on borderline s0 —
     decoded bits are identical.
+
+    The planes operand is aliased to the output (input_output_aliases):
+    grid cells read and write disjoint [1, 3, STRIP, W] windows, so
+    in-place is exact, and XLA copy-inserts when the caller's buffer is
+    still live (eager callers keep value semantics).  Measured on chip
+    (tools/probe_strip.py): a separate output buffer costs ~30% of the
+    kernel's wall clock — the u8 passthrough runs 2.41 ms/iter two-buffer
+    vs 1.70 ms aliased at B=32/1080p, matching XLA's elementwise stream
+    rate.  In the hot paths (mark_frames' planar intermediate, on-device
+    bench carries) the operand is always dead, so the alias is free.
     """
     b, _, h, w = planes.shape
     h4, w4 = h // 4 * 4, w // 4 * 4
@@ -284,6 +294,7 @@ def fused_mark_planar(planes: jnp.ndarray, wm2d: jnp.ndarray, scale: float = 15.
         ],
         out_specs=pl.BlockSpec((1, 3, STRIP, wp), lambda i, j: (i, 0, j, 0),
                                memory_space=pltpu.VMEM),
+        input_output_aliases={0: 0},
         interpret=interpret,
     )(planes, wm3d, jnp.asarray(s), jnp.asarray(st), jnp.asarray(r1),
       jnp.asarray(r1t))
