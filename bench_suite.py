@@ -246,9 +246,9 @@ def bench_embed_4k(quick):
     rng = np.random.RandomState(0)
     # u8 carry, like embed_1080p: an f32 carry adds ~150 MB/frame of HBM
     # clip/cast traffic at 4K and under-reported this bench by ~2x (r3 judge).
-    # b=4 chosen by chip A/B (r4): 34.1 Gpix/s vs 22.6 at b=8 / 26.6 at b=2 —
-    # the 4K strip working set at b>=8 spills past what the scheduler overlaps
-    b = 2 if quick else 4
+    # r4 picked b=4 (34.1 Gpix/s vs 22.6 at b=8); the r5 in-place alias
+    # changed the economics — same-window A/B: b=8 37.6 vs b=4 26.0 Gpix/s
+    b = 2 if quick else 8
     frames = jnp.asarray(natural_frames(rng, b, 2160, 3840))
     wm = Shuffler(key=0).generate_wm(
         payload_for_segment(1, 2), codec.wm_capacity((2160, 3840, 3)))

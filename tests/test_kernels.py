@@ -103,6 +103,23 @@ class TestFusedMegaKernels:
         for p in rec:
             np.testing.assert_array_equal(p, payload)
 
+    def test_aliased_mark_keeps_value_semantics(self, rng):
+        """input_output_aliases={0:0} must not break eager callers: the
+        planes argument survives the call and repeated calls on the same
+        array are deterministic (XLA copy-inserts for live operands;
+        verified compiled on chip, pinned here in interpret mode)."""
+        from vfp_tpu.kernels.fused_embed import fused_mark_planar
+
+        frames, codec, (nbh, nbw), cap, payload, wm = self._setup(rng)
+        planes_np = frames.transpose(0, 3, 1, 2).copy()
+        planes = jnp.asarray(planes_np)
+        wm2d = jnp.asarray(wm[: nbh * nbw].reshape(nbh, nbw), jnp.float32)
+        a = np.asarray(fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True))
+        assert np.array_equal(np.asarray(planes), planes_np)
+        b = np.asarray(fused_mark_planar(planes, wm2d, 15.0, 1, interpret=True))
+        assert np.array_equal(a, b)
+        assert not np.array_equal(a, planes_np)  # it did mark something
+
     def test_extract_matches_xla(self, rng):
         from vfp_tpu.kernels.fused_embed import fused_extract_planar, fused_mark_planar
 
