@@ -50,6 +50,26 @@ def natural_frames(rng, b, h, w):
 V5E_HBM_PEAK_GBPS = 819.0
 
 
+def u8_carry(x, dep):
+    """Constant-fold barrier for extract bench loops: carry x forward with a
+    data dependency on ``dep`` (the decoded bits) at ~zero HBM cost.
+
+    The r4 suite's barrier was ``x + (0.0 * sum(bits)).astype(u8)`` — a
+    FULL-FRAME u8 read+write per iteration.  Measured on chip
+    (tools/probe_extract_carry.py, B=32/1080p): that add ALONE runs at
+    0.91 ms/iter vs 1.58 for extract+add — the "extract fps" was ~entirely
+    the barrier.  A one-pixel dynamic_update_slice keeps the dependency
+    (x changes every iteration, so XLA cannot hoist the extract out of the
+    fori_loop) and XLA updates the loop carry in place: flagship extract
+    20,250 -> 34,318 fps in the same window.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pix = (x[:1, :1, :1, :1] + jnp.sum(dep).astype(jnp.uint8)) % 251
+    return jax.lax.dynamic_update_slice(x, pix, (0,) * x.ndim)
+
+
 def hbm_gbps(fps, h, w, passes):
     """Achieved HBM GB/s from the *mandatory* whole-frame u8 traffic only:
     ``passes`` u8 frame copies per processed frame (mark: read+write = 2,
@@ -173,7 +193,7 @@ def bench_dtcwt_1080p(quick):
     def xloop(x, n):
         def body(i, x):
             r = codec.extract_frames(x)
-            return x + (0.0 * jnp.mean(r)).astype(jnp.uint8)
+            return u8_carry(x, r)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -217,7 +237,7 @@ def bench_extract_1080p(quick):
     def loop(x, n):
         def body(i, x):
             bits = codec.extract_frames(x)
-            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
+            return u8_carry(x, bits)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -336,7 +356,7 @@ def bench_extract_8k(quick):
     def loop(x, n):
         def body(i, x):
             bits = codec.extract_frames(x)  # u8 carry — see extract_1080p note
-            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
+            return u8_carry(x, bits)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -371,7 +391,7 @@ def bench_extract_4k(quick):
     def loop(x, n):
         def body(i, x):
             bits = codec.extract_frames(x)  # u8 carry — see extract_1080p note
-            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
+            return u8_carry(x, bits)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -438,7 +458,7 @@ def bench_dtcwtimg_1080p(quick):
     def xloop(x, n):
         def body(i, x):
             r = codec.extract_frames(x)
-            return x + (0.0 * jnp.mean(r)).astype(jnp.uint8)
+            return u8_carry(x, r)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
@@ -495,7 +515,7 @@ def bench_dctqim_1080p(quick):
     def xloop(x, n):
         def body(i, x):
             r = codec.extract_frames(x)
-            return x + (0.0 * jnp.sum(r)).astype(jnp.uint8)
+            return u8_carry(x, r)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 

@@ -20,6 +20,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from bench_suite import u8_carry  # noqa: E402
+
 
 def main():
     argv = sys.argv[1:]
@@ -45,7 +47,7 @@ def main():
             def loop2(x, n):
                 def body(i, x):
                     bits = codec.extract_frames(x)
-                    return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
+                    return u8_carry(x, bits)
 
                 return jnp.sum(jax.lax.fori_loop(0, n, body, x)
                                .astype(jnp.int32))

@@ -29,6 +29,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from bench_suite import u8_carry  # noqa: E402
+
 from vfp_tpu.wm.dct_qim import DctQim  # noqa: E402
 
 
@@ -62,7 +64,7 @@ def bench(fast, b=32, iters=48):
     def xloop(x, n):
         def body(i, x):
             r = codec.extract_frames(x)
-            return x + (0.0 * jnp.sum(r)).astype(jnp.uint8)
+            return u8_carry(x, r)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench_suite import u8_carry  # noqa: E402
+
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 8
@@ -49,7 +51,7 @@ def main():
     def xloop(x, n):
         def body(i, x):
             r = codec.extract_frames(x)
-            return x + (0.0 * jnp.mean(r)).astype(jnp.uint8)
+            return u8_carry(x, r)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 

@@ -26,6 +26,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
+from bench_suite import u8_carry  # noqa: E402
+
 from vfp_tpu.kernels.fused_embed import (fused_extract_planar,  # noqa: E402
                                          fused_mark_planar)
 
@@ -53,7 +55,7 @@ def main():
     def xloop(x, ip, n):
         def body(i, x):
             bits = fused_extract_planar(x, 15.0, 1, int_path=ip)
-            return x + (0.0 * jnp.sum(bits)).astype(jnp.uint8)
+            return u8_carry(x, bits)
 
         return jnp.sum(jax.lax.fori_loop(0, n, body, x).astype(jnp.int32))
 
