@@ -6,6 +6,8 @@ happened (reference behavior: ``-c copy`` concat tests/generate_leak.py:126-141,
 fMP4 fragmenting api/main.py:113-124).
 """
 
+import time
+
 import numpy as np
 import cv2
 import pytest
@@ -381,3 +383,107 @@ class TestAdviceR4:
         concatenate_segments(m4ss, out)
         # exact decode equality == the lossy frame-splice fallback NOT taken
         assert np.array_equal(decode_frames(out), np.concatenate(frames))
+
+
+class TestFuzz:
+    """Foreign-file robustness: read_mp4 over corrupt/hostile inputs must
+    either parse or raise IOError promptly — never leak struct.error /
+    KeyError / IndexError, never expand an attacker-chosen entry count into
+    a multi-GB list or an unbounded loop.  (The reference shells out to
+    ffmpeg, which carries its own demuxer hardening; our box parser is the
+    equivalent trust boundary for leak/serve inputs.)"""
+
+    @pytest.fixture()
+    def small_mp4(self, mp4v_segments, tmp_path):
+        """A small progressive MP4 in our own writer's layout."""
+        segs, _ = mp4v_segments
+        out = tmp_path / "own.mp4"
+        write_mp4(out, read_mp4(segs[0]).tracks)
+        return out
+
+    @pytest.fixture()
+    def small_m4s(self, mp4v_segments, tmp_path):
+        segs, _ = mp4v_segments
+        out = tmp_path / "own.m4s"
+        fragment_mp4(segs[0], out)
+        return out
+
+    @staticmethod
+    def _try_parse(path):
+        t0 = time.monotonic()
+        try:
+            m = read_mp4(path)
+            assert m.tracks is not None
+        except IOError:
+            pass
+        # promptness: no quadratic/unbounded expansion path was taken
+        assert time.monotonic() - t0 < 5.0
+
+    def test_truncations(self, small_mp4, tmp_path):
+        raw = small_mp4.read_bytes()
+        p = tmp_path / "t.mp4"
+        for cut in list(range(0, len(raw), 211)) + [len(raw) - 1]:
+            p.write_bytes(raw[:cut])
+            self._try_parse(p)
+
+    def test_byte_flips(self, small_mp4, small_m4s, tmp_path):
+        rng = np.random.RandomState(0)
+        for src in (small_mp4, small_m4s):
+            raw = bytearray(src.read_bytes())
+            p = tmp_path / f"f{src.suffix.lstrip('.')}.mp4"
+            for _ in range(200):
+                mut = bytearray(raw)
+                for _ in range(rng.randint(1, 9)):
+                    mut[rng.randint(len(mut))] = rng.randint(256)
+                p.write_bytes(bytes(mut))
+                self._try_parse(p)
+
+    def test_random_garbage(self, tmp_path):
+        rng = np.random.RandomState(1)
+        p = tmp_path / "g.mp4"
+        for i in range(50):
+            buf = rng.randint(0, 256, rng.randint(0, 4096), dtype=np.uint8)
+            body = buf.tobytes()
+            if i % 2:  # half get a plausible ftyp so parsing goes deeper
+                body = b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00isomiso2" + body
+            p.write_bytes(body)
+            self._try_parse(p)
+
+    @staticmethod
+    def _patch_u32(raw, marker, field_off, value):
+        import struct as _s
+
+        pos = raw.find(marker)
+        assert pos > 0
+        out = bytearray(raw)
+        _s.pack_into(">I", out, pos + field_off, value)
+        return bytes(out)
+
+    def test_huge_stsz_count(self, small_mp4, tmp_path):
+        # stsz: type .. ver/flags(4) sample_size(4) count(4)
+        p = tmp_path / "h.mp4"
+        p.write_bytes(self._patch_u32(
+            small_mp4.read_bytes(), b"stsz", 12, 0xFFFFFFFF))
+        t0 = time.monotonic()
+        with pytest.raises(IOError):
+            read_mp4(p)
+        assert time.monotonic() - t0 < 2.0
+
+    def test_huge_stts_run(self, small_mp4, tmp_path):
+        # stts: ver/flags(4) entry_count(4) [count(4) delta(4)]...
+        # entry_count stays valid; the first run's count goes hostile —
+        # expansion must stay capped at the stsz sample count
+        p = tmp_path / "h2.mp4"
+        p.write_bytes(self._patch_u32(
+            small_mp4.read_bytes(), b"stts", 12, 0x7FFFFFFF))
+        self._try_parse(p)
+
+    def test_huge_trun_count(self, small_m4s, tmp_path):
+        # trun: ver/flags(4) sample_count(4)
+        p = tmp_path / "h3.mp4"
+        p.write_bytes(self._patch_u32(
+            small_m4s.read_bytes(), b"trun", 4, 0xFFFFFFFF))
+        t0 = time.monotonic()
+        with pytest.raises(IOError):
+            read_mp4(p)
+        assert time.monotonic() - t0 < 2.0

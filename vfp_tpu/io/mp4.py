@@ -131,59 +131,79 @@ def _parse_stbl(data, s, e, src, mdat_hint=None):
         boxes[t] = (hdr, bs, be)
 
     def body(t):
+        if t not in boxes:
+            raise IOError(f"stbl missing required {t!r} box in {src}")
         hdr, bs, be = boxes[t]
         return bs + hdr + 4, be  # skip version/flags
+
+    def table(t, p, e2, n, entry_bytes):
+        # Foreign/corrupt files can carry absurd entry counts; validate
+        # against the box end before expanding (a 0xFFFFFFFF count would
+        # otherwise force a multi-GB list or a billion-iteration loop).
+        if p + 4 + n * entry_bytes > e2:
+            raise IOError(f"{t.decode()} table truncated in {src} "
+                          f"({n} entries past box end)")
 
     # sizes
     p, e2 = body(b"stsz")
     fixed = _u32(data, p)
     count = _u32(data, p + 4)
+    if count > len(data):  # every sample needs >=1 media byte somewhere
+        raise IOError(f"implausible stsz sample count {count} in {src}")
     if fixed:
         sizes = [fixed] * count
     else:
+        table(b"stsz", p + 4, e2, count, 4)
         sizes = list(struct.unpack_from(f">{count}I", data, p + 8))
     # durations (stts run-length)
-    p, _ = body(b"stts")
+    p, e2 = body(b"stts")
     n = _u32(data, p)
+    table(b"stts", p, e2, n, 8)
     durations = []
     q = p + 4
     for _ in range(n):
         cnt, delta = struct.unpack_from(">II", data, q)
-        durations.extend([delta] * cnt)
+        # only `count` durations are consumed; cap the expansion so a huge
+        # run-length can't blow memory
+        durations.extend([delta] * min(cnt, count - len(durations)))
         q += 8
     # chunk offsets
     if b"stco" in boxes:
-        p, _ = body(b"stco")
+        p, e2 = body(b"stco")
         nc = _u32(data, p)
+        table(b"stco", p, e2, nc, 4)
         chunk_offsets = list(struct.unpack_from(f">{nc}I", data, p + 4))
     else:
-        p, _ = body(b"co64")
+        p, e2 = body(b"co64")
         nc = _u32(data, p)
+        table(b"co64", p, e2, nc, 8)
         chunk_offsets = list(struct.unpack_from(f">{nc}Q", data, p + 4))
     # samples-per-chunk (stsc)
-    p, _ = body(b"stsc")
+    p, e2 = body(b"stsc")
     n = _u32(data, p)
+    table(b"stsc", p, e2, n, 12)
     stsc = [struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(n)]
     # sync table
     syncs = None
     if b"stss" in boxes:
-        p, _ = body(b"stss")
+        p, e2 = body(b"stss")
         n = _u32(data, p)
+        table(b"stss", p, e2, n, 4)
         syncs = set(struct.unpack_from(f">{n}I", data, p + 4))
     # composition offsets
     cts = [0] * count
     if b"ctts" in boxes:
-        p, _ = body(b"ctts")
+        p, e2 = body(b"ctts")
         n = _u32(data, p)
+        table(b"ctts", p, e2, n, 8)
         q = p + 4
         i = 0
         for _ in range(n):
             cnt = _u32(data, q)
             off = struct.unpack_from(">i", data, q + 4)[0]  # v1 signed; v0 fits
-            for _ in range(cnt):
-                if i < count:
-                    cts[i] = off
-                    i += 1
+            for _ in range(min(cnt, count - i)):
+                cts[i] = off
+                i += 1
             q += 8
 
     samples = []
@@ -250,6 +270,20 @@ def _parse_fragments(data: bytes, path: str, tracks_by_id: dict):
                     flags = int.from_bytes(data[p + 1: p + 4], "big")
                     n = _u32(data, p + 4)
                     q = p + 8
+                    # per-sample table bytes must fit inside the trun box;
+                    # with no per-sample fields (flags 0x100..0x800 clear)
+                    # nothing bounds n, so cap it at a count no real
+                    # fragment approaches (one trun covers ~seconds)
+                    bpp = 4 * sum(1 for f in (0x100, 0x200, 0x400, 0x800)
+                                  if flags & f)
+                    hdr_extra = (4 if flags & 0x1 else 0) + \
+                        (4 if flags & 0x4 else 0)
+                    if bpp and q + hdr_extra + n * bpp > e3:
+                        raise IOError(f"trun table truncated in {path} "
+                                      f"({n} samples past box end)")
+                    if n > max(len(data), 1 << 24):
+                        raise IOError(
+                            f"implausible trun sample count {n} in {path}")
                     if flags & 0x000001:
                         off = base_offset + struct.unpack_from(">i", data, q)[0]
                         q += 4
@@ -307,6 +341,16 @@ def read_mp4(path) -> Mp4File:
 
 
 def _read_mp4_buf(data, path: str) -> Mp4File:
+    # Parse errors on foreign/corrupt files must surface as IOError, not
+    # leak struct.error/IndexError from whatever field happened to fall off
+    # the end of the buffer (tests/test_mp4.py::TestFuzz).
+    try:
+        return _read_mp4_buf_inner(data, path)
+    except (struct.error, IndexError, KeyError, OverflowError) as exc:
+        raise IOError(f"malformed mp4 {path}: {exc}") from exc
+
+
+def _read_mp4_buf_inner(data, path: str) -> Mp4File:
     moov = _find(data, 0, len(data), b"moov")
     if moov is None:
         raise IOError(f"no moov box in {path} (truncated?)")
