@@ -293,3 +293,28 @@ class TestConcurrency:
         with concurrent.futures.ThreadPoolExecutor(max_workers=8) as pool:
             numbers = list(pool.map(start, range(8)))
         assert len(set(numbers)) == 8, numbers
+
+
+class TestBadUploads:
+    """Undecodable media is a client error (400), and a failed upload must
+    not destroy the previously served video's state."""
+
+    def test_garbage_upload_400_and_state_preserved(self, server, uploaded):
+        base, data_dir = server
+        before = (data_dir / "segment_mapping.json").read_text()
+        body, headers = _multipart("file", "evil.mp4", b"\x00garbage" * 512)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, "/upload", body, headers, "POST")
+        assert e.value.code == 400
+        assert json.loads(e.value.read())["detail"]
+        # previous video still fully served
+        assert (data_dir / "segment_mapping.json").read_text() == before
+        status, _, _ = _req(base, "/view")
+        assert status == 200
+
+    def test_garbage_detect_400(self, server, uploaded):
+        base, _ = server
+        body, headers = _multipart("file", "leak.mp4", b"not video" * 99)
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, "/detect", body, headers, "POST")
+        assert e.value.code == 400

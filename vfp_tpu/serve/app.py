@@ -156,6 +156,9 @@ def make_handler(service: VfpService):
                         tmp = f.name
                     try:
                         return self._json(service.process_upload(tmp))
+                    except OSError as e:
+                        # undecodable/corrupt media is a client error
+                        return self._json({"detail": str(e)}, 400)
                     finally:
                         Path(tmp).unlink(missing_ok=True)
                 if path == "/detect":
@@ -169,6 +172,8 @@ def make_handler(service: VfpService):
                         tmp = f.name
                     try:
                         return self._json(service.detect(tmp))
+                    except OSError as e:
+                        return self._json({"detail": str(e)}, 400)
                     finally:
                         Path(tmp).unlink(missing_ok=True)
                 return self._json({"error": "not found"}, 404)

@@ -78,6 +78,11 @@ class VfpService:
 
         Returns a summary dict; writes segment_mapping.json in the API flavor
         (reference: api/main.py:62-214 'successful_segments')."""
+        # Validate the input decodes BEFORE wiping the previous video's
+        # state — an undecodable upload must not take down the served HLS.
+        from ..io import open_reader
+
+        open_reader(video_path).close()
         for d in ("segments", "marked_segments"):
             p = self.data_dir / d
             if p.exists():
