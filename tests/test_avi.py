@@ -111,3 +111,61 @@ class TestLeakStreamCopy:
         out = tmp_path / "o.avi"
         assert splice_mjpeg_avis([p], out) is False
         assert not out.exists()
+
+
+class TestAviFuzz:
+    """Corrupt/hostile AVI robustness: parse or IOError, promptly — never
+    struct.error or an unbounded loop (io/mp4.py::TestFuzz is the MP4
+    counterpart of this trust boundary)."""
+
+    @staticmethod
+    def _try_parse(path):
+        import time
+
+        from vfp_tpu.io.mp4 import track_from_mjpeg_avi
+
+        t0 = time.monotonic()
+        for fn in (avi_meta, lambda p: list(iter_video_chunks(p)),
+                   track_from_mjpeg_avi):
+            try:
+                fn(path)
+            except IOError:
+                pass
+        assert time.monotonic() - t0 < 5.0
+
+    def test_truncations(self, tmp_path, rng):
+        frames = rng.randint(0, 256, (4, 32, 48, 3), np.uint8)
+        _write_avi(tmp_path / "a.avi", frames)
+        raw = (tmp_path / "a.avi").read_bytes()
+        p = tmp_path / "t.avi"
+        for cut in list(range(0, len(raw), 197)) + [len(raw) - 1]:
+            p.write_bytes(raw[:cut])
+            self._try_parse(p)
+
+    def test_byte_flips(self, tmp_path, rng):
+        frames = rng.randint(0, 256, (4, 32, 48, 3), np.uint8)
+        _write_avi(tmp_path / "a.avi", frames)
+        raw = bytearray((tmp_path / "a.avi").read_bytes())
+        frng = np.random.RandomState(7)
+        p = tmp_path / "f.avi"
+        for _ in range(200):
+            mut = bytearray(raw)
+            for _ in range(frng.randint(1, 9)):
+                mut[frng.randint(len(mut))] = frng.randint(256)
+            p.write_bytes(bytes(mut))
+            self._try_parse(p)
+
+    def test_short_header_boxes(self, tmp_path):
+        """Tiny avih/strh payloads must raise IOError, not struct.error."""
+        import struct as _s
+
+        for boxes in (
+            _s.pack("<4sI", b"avih", 8) + b"\x00" * 8,
+            b"LIST" + _s.pack("<I", 24) + b"strl"
+            + _s.pack("<4sI", b"strh", 8) + b"vids" + b"\x00" * 4,
+        ):
+            body = b"AVI " + boxes
+            p = tmp_path / "s.avi"
+            p.write_bytes(b"RIFF" + _s.pack("<I", len(body)) + body)
+            with pytest.raises(IOError):
+                avi_meta(p)

@@ -50,6 +50,8 @@ def avi_meta(path) -> dict:
                 f.seek(size - 4 + (size & 1), 1)  # skip movi/odml + pad
             elif fourcc == b"avih":
                 body = _read_exact(f, size + (size & 1))
+                if len(body) < 56:
+                    raise IOError(f"avih box too short in {path}")
                 vals = struct.unpack("<14I", body[:56])
                 meta["fps"] = 1_000_000 / vals[0] if vals[0] else 0.0
                 meta["frames"] = vals[4]
@@ -57,6 +59,8 @@ def avi_meta(path) -> dict:
             elif fourcc == b"strh":
                 body = _read_exact(f, size + (size & 1))
                 if body[:4] == b"vids":
+                    if len(body) < 28:
+                        raise IOError(f"strh box too short in {path}")
                     meta["mjpeg"] = body[4:8] in (b"MJPG", b"mjpg")
                     scale, rate = struct.unpack("<II", body[20:28])
                     if scale:
