@@ -72,7 +72,11 @@ def measure_cpu_baseline() -> float:
     return 1.0 / dt
 
 
-def measure_tpu(batch: int = 32, iters: int = 96, windows: int = 3) -> float:
+def measure_tpu(batch: int = 128, iters: int = 96, windows: int = 3) -> float:
+    # batch 128: r5 chip sweep (tools/bench_8k_sweep.py --1080p) measured
+    # B=32 16267 / B=64 20442 / B=96 22016 / B=128 23184 fps in one window
+    # — post-alias the kernel's per-iteration overhead amortizes over more
+    # frames.
     """Steady-state embed fps via an on-device loop + scalar checksum fetch.
 
     (block_until_ready is unreliable over the axon tunnel and full-frame

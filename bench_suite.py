@@ -128,7 +128,10 @@ def bench_embed_1080p(quick):
 
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
-    b = 8 if quick else 32
+    # r5 chip sweep (tools/bench_8k_sweep.py --1080p, one window): B=32
+    # 16267 / B=64 20442 / B=96 22016 / B=128 23184 fps — post-alias the
+    # per-iteration overhead amortizes over more frames, like 4K/8K
+    b = 8 if quick else 128
     frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
     wm = Shuffler(key=0).generate_wm(payload_for_segment(1, 2), codec.wm_capacity((1080, 1920, 3)))
     wm = jnp.asarray(np.asarray(wm).reshape(-1), jnp.float32)
@@ -226,7 +229,10 @@ def bench_extract_1080p(quick):
 
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
-    b = 8 if quick else 32
+    # r5 chip sweep (tools/bench_8k_sweep.py --extract --1080p, one
+    # window): B=32 20795 / B=64 29494 / B=96 33901 / B=128 36011 /
+    # B=160 37878 fps
+    b = 8 if quick else 160
     frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
 
     # carry u8 like the embed loop (real pipelines feed u8): an f32 carry
@@ -349,7 +355,10 @@ def bench_extract_8k(quick):
 
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
-    b = 1 if quick else 2
+    # r5 chip sweep (tools/bench_8k_sweep.py --extract, one window): B=2
+    # 1524 / B=4 2208 / B=6 2549 / B=8 2752 fps (50.6 -> 91.3 Gpix/s) —
+    # same batch-amortization mechanism as the embed sweep
+    b = 1 if quick else 8
     frames = jnp.asarray(natural_frames(rng, b, 4320, 7680))
 
     @partial(jax.jit, static_argnums=1)
@@ -384,7 +393,9 @@ def bench_extract_4k(quick):
 
     codec = DwtDctSvd()
     rng = np.random.RandomState(0)
-    b = 2 if quick else 8
+    # r5 chip sweep (tools/bench_8k_sweep.py --extract --4k, one window):
+    # B=8 6013 / B=16 8086 / B=24 9585 / B=32 9175 fps — B=24 peak
+    b = 2 if quick else 24
     frames = jnp.asarray(natural_frames(rng, b, 2160, 3840))
 
     @partial(jax.jit, static_argnums=1)

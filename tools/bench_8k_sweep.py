@@ -26,8 +26,14 @@ from bench_suite import u8_carry  # noqa: E402
 def main():
     argv = sys.argv[1:]
     extract = "--extract" in argv
-    batches = [int(a) for a in argv if a != "--extract"] or [2, 3, 4]
+    res = {"--1080p": (1080, 1920), "--4k": (2160, 3840),
+           "--8k": (4320, 7680)}
     H, W = 4320, 7680
+    for flag, hw in res.items():
+        if flag in argv:
+            H, W = hw
+    batches = [int(a) for a in argv
+               if a != "--extract" and a not in res] or [2, 3, 4]
     from vfp_tpu.fingerprint import payload_for_segment
     from vfp_tpu.wm import DwtDctSvd, Shuffler
 
