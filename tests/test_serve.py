@@ -318,3 +318,11 @@ class TestBadUploads:
         with pytest.raises(urllib.error.HTTPError) as e:
             _req(base, "/detect", body, headers, "POST")
         assert e.value.code == 400
+
+    def test_missing_boundary_400(self, server):
+        base, _ = server
+        for path in ("/upload", "/detect"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                _req(base, path, b"no boundary here",
+                     {"Content-Type": "multipart/form-data"}, "POST")
+            assert e.value.code == 400

@@ -135,6 +135,13 @@ def make_handler(service: VfpService):
             try:
                 path = self.path.split("?")[0]
                 body = self._read_body()
+                parts = None
+                if path in ("/upload", "/detect"):
+                    try:
+                        parts = parse_multipart(
+                            body, self.headers.get("Content-Type", ""))
+                    except ValueError as e:  # no/garbled boundary: client error
+                        return self._json({"detail": str(e)}, 400)
                 if path == "/start-view":
                     data = json.loads(body or b"{}")
                     try:
@@ -146,7 +153,6 @@ def make_handler(service: VfpService):
                     except FileNotFoundError as e:
                         return self._json({"detail": str(e)}, 404)
                 if path == "/upload":
-                    parts = parse_multipart(body, self.headers.get("Content-Type", ""))
                     if "file" not in parts:
                         return self._json({"detail": "file field required"}, 400)
                     fname, data = parts["file"]
@@ -162,7 +168,6 @@ def make_handler(service: VfpService):
                     finally:
                         Path(tmp).unlink(missing_ok=True)
                 if path == "/detect":
-                    parts = parse_multipart(body, self.headers.get("Content-Type", ""))
                     if "file" not in parts:
                         return self._json({"detail": "file field required"}, 400)
                     fname, data = parts["file"]
