@@ -508,7 +508,9 @@ def bench_dctqim_1080p(quick):
 
     codec = DctQim()
     rng = np.random.RandomState(0)
-    b = 4 if quick else 16
+    # r5 chip probe (tools/bench_dctqim_fastdots.py, one window): B=32
+    # 5437/5909 mark/extract, B=64 5725/6248, B=96 5714/6217 — B=64 peak
+    b = 4 if quick else 64
     frames = jnp.asarray(natural_frames(rng, b, 1080, 1920))
     wm = jnp.asarray(rng.randint(0, 2, codec.wm_capacity((1080, 1920, 3))), jnp.float32)
     bits = np.asarray(codec.extract_frames(codec.mark_frames(frames, wm)))
