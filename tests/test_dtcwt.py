@@ -408,3 +408,88 @@ class TestFusedDeltaSynthesis:
             want = np.asarray(t.synthesis_legall_ll(dll1))
             got = np.asarray(dtcwt_delta_synthesis(dsubs, interpret=True))
             np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+class TestChainedAnalysis:
+    """Single-pad chained kernel layout (dtcwt_level1.py "Chained analysis"):
+    level 1 pads once with CHAIN_MARGIN and every downstream analysis kernel
+    consumes the previous kernel's RAW output.  Valid windows must be
+    BITWISE equal to the per-level pad/crop path — the chain only changes
+    pad geometry, never operand values or contraction sizes."""
+
+    SHAPES = ((128, 256), (160, 384))
+
+    def test_chain_kernels_bitwise_equal(self, rng):
+        from vfp_tpu.kernels.dtcwt_level1 import (
+            CHAIN_MARGIN, chain_eligible, dtcwt_level1_analysis_ll_color,
+            dtcwt_level1_analysis_ll_y, dtcwt_level1_ll_color_chain,
+            dtcwt_level1_ll_y_chain, dtcwt_qshift_analysis_hp,
+            dtcwt_qshift_analysis_ll, dtcwt_qshift_hp_chain,
+            dtcwt_qshift_ll_chain)
+        from vfp_tpu.kernels.dtcwt_masks import (dtcwt_qshift_masks,
+                                                 dtcwt_qshift_masks_chain)
+
+        m1, m2 = CHAIN_MARGIN // 2, CHAIN_MARGIN // 4
+        for h, w in self.SHAPES:
+            assert chain_eligible(h, w)
+            f = jnp.asarray(rng.randint(0, 256, (2, h, w, 3)).astype(np.uint8))
+            raw = dtcwt_level1_ll_color_chain(f, interpret=True)
+            ref = dtcwt_level1_analysis_ll_color(f, interpret=True)
+            assert np.array_equal(
+                np.asarray(raw[..., m1 : m1 + h // 2, m1 : m1 + w // 2]),
+                np.asarray(ref))
+            rawy = dtcwt_level1_ll_y_chain(f, interpret=True)
+            refy = dtcwt_level1_analysis_ll_y(f, interpret=True)
+            assert np.array_equal(
+                np.asarray(rawy[..., m1 : m1 + h // 2, m1 : m1 + w // 2]),
+                np.asarray(refy))
+            ll2_raw = dtcwt_qshift_ll_chain(raw[:, 1], interpret=True)
+            ll2_ref = dtcwt_qshift_analysis_ll(ref[:, 1], interpret=True)
+            assert np.array_equal(
+                np.asarray(ll2_raw[..., m2 : m2 + h // 4, m2 : m2 + w // 4]),
+                np.asarray(ll2_ref))
+            hp3 = dtcwt_qshift_hp_chain(ll2_raw, (h // 8, w // 8),
+                                        interpret=True)
+            hp3_ref = dtcwt_qshift_analysis_hp(ll2_ref, interpret=True)
+            assert np.array_equal(np.asarray(hp3), np.asarray(hp3_ref))
+            mk = dtcwt_qshift_masks_chain(raw[:, 0], (h // 8, w // 8),
+                                          step=5.0, interpret=True)
+            mk_ref = dtcwt_qshift_masks(ref[:, 0], step=5.0, interpret=True)
+            assert np.array_equal(np.asarray(mk), np.asarray(mk_ref))
+
+    def test_codec_chain_paths_match_unchained(self, rng):
+        """Codec-level: the chained mark delta and decode must match the
+        per-level path on the same frames (kernel interpret vs the codec's
+        XLA fallback; f32 tolerance)."""
+        from vfp_tpu.kernels.dtcwt_level1 import (dtcwt_level1_ll_color_chain,
+                                                  dtcwt_level1_ll_y_chain)
+        from vfp_tpu.wm.dtcwt_codecs import DtcwtKey
+
+        h, w = 128, 256
+        # fast_dots=False: the XLA fallback is always exact f32, so the
+        # comparison needs the kernels' exact 3-pass mode (the quantized
+        # masks amplify bf16 rounding into whole mask steps otherwise)
+        codec = DtcwtKey(fast_dots=False)
+        f = jnp.asarray(rng.randint(0, 256, (2, h, w, 3)).astype(np.uint8))
+        wm = jnp.asarray(rng.randint(0, 2, codec.wm_capacity((h, w, 3))),
+                         jnp.float32)
+        wm_hp = codec.wm_highpass(wm)
+        # mark delta
+        y_raw = dtcwt_level1_ll_y_chain(f, interpret=True)
+        du_chain = np.asarray(
+            codec._embed_delta_chain(y_raw, wm_hp, (h, w), True))
+        yuv = None
+        from vfp_tpu.ops.color import bgr_to_yuv
+
+        yuv = bgr_to_yuv(f.astype(jnp.float32))
+        t = codec._t()
+        y_ll1, s0 = t.analysis_level1(yuv[..., 0], lowpass_only=True)
+        du_ref = np.asarray(codec._embed_delta_from_ll1(y_ll1, wm_hp, s0))
+        np.testing.assert_allclose(du_chain, du_ref, atol=2e-4)
+        # decode
+        ll1 = dtcwt_level1_ll_color_chain(f, interpret=True)
+        dec_chain = np.asarray(
+            codec._decode_from_ll1_chain(ll1[:, 0], ll1[:, 1], (h, w), True))
+        dec_ref = np.asarray(
+            codec._decode_channel_raw(yuv[..., 0], yuv[..., 1]))
+        np.testing.assert_allclose(dec_chain, dec_ref, atol=2e-4)

@@ -821,3 +821,176 @@ def dtcwt_qshift_analysis_hp(ll4: jnp.ndarray, interpret: bool = False,
         interpret=interpret,
     )(ll4, jnp.asarray(rsel), jnp.asarray(s2))
     return _valid(out, h0_, w0)
+
+
+# ---------------------------------------------------------------------------
+# Chained analysis: pad ONCE at level 1 with a wide circular margin, then let
+# each level consume the previous kernel's RAW (uncropped) output directly.
+#
+# Why this is exact: jnp.pad(mode='wrap') is fully circular — padded index x
+# holds valid index (x - M) mod n on BOTH sides.  Every filter stage reads
+# strictly to the left/top (2m + phase - k, k < L), so a kernel fed a fully
+# circular padded input produces, at EVERY raw output position u >= g, the
+# true circular result at valid position (u - M/2) mod (n/2).  Only a small
+# fringe u < g is garbage (reads that fell off the physical buffer and
+# wrapped to non-adjacent content): g = ceil((g_in + L - 1) / 2) per level,
+# starting from g = 2 after LeGall (L=5) and g = 8 after one q-shift (L=14).
+# A consumer with input margin m keeps all VALID outputs exact iff its valid
+# reads stay inside the correct region: m - (L-1) >= g_in.  With one pad of
+# CHAIN_MARGIN = 96 at level 1:
+#
+#   ll1 raw:  margin 48, garbage < 2   (qshift needs 48-13 >= 2   OK)
+#   ll2 raw:  margin 24, garbage < 8   (qshift needs 24-13 >= 8   OK)
+#   hp3 raw:  margin 12, garbage < 11  (valid window starts at 12 OK)
+#
+# so the level-2 and level-3 analyses and the fused mask kernel all run with
+# ZERO intermediate crop/pad copies — the r5 stage profile measured those
+# copies at ~40% of the extract chain's wall (docs/DESIGN.md "DT-CWT extract
+# stage budget").  Valid outputs are BITWISE identical to the unchained
+# path: the row/col matmuls see identical operand values and identical
+# contraction sizes, and the decimation matrices are one-hot.
+#
+# Height rounds to 128 so every downstream grid divides (hp1/2 and hp1/4
+# both multiples of STRIP); width rounds to 512 so every downstream lane
+# count is a multiple of 128 (Mosaic HBM lane alignment).
+# ---------------------------------------------------------------------------
+
+CHAIN_MARGIN = 96
+
+
+def chain_eligible(h: int, w: int) -> bool:
+    """Frame shapes the single-pad chained path accepts.  h, w % 8 == 0
+    keeps every level's valid dims exactly halved (no _pad_even crops);
+    the pad bounds mirror kernel_eligible's (each wrap side <= the dim)."""
+    if h % 8 or w % 8:
+        return False
+    hp = _round_up(h + CHAIN_MARGIN, 128)
+    wp = _round_up(w + CHAIN_MARGIN, 512)
+    return (h >= CHAIN_MARGIN and w >= CHAIN_MARGIN
+            and hp - h - CHAIN_MARGIN <= h and wp - w - CHAIN_MARGIN <= w
+            and pick_chunk2(wp) is not None
+            and pick_chunk2(wp // 2) is not None
+            and pick_chunk2(wp // 4) is not None)
+
+
+def _chain_pad(x, h, w):
+    """Level-1 wrap pad with the chain margin (see module note above)."""
+    hp = _round_up(h + CHAIN_MARGIN, 128)
+    wp = _round_up(w + CHAIN_MARGIN, 512)
+    pads = [(0, 0)] * (x.ndim - 2) + [
+        (CHAIN_MARGIN, hp - h - CHAIN_MARGIN),
+        (CHAIN_MARGIN, wp - w - CHAIN_MARGIN),
+    ]
+    return jnp.pad(x, pads, mode="wrap")
+
+
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_level1_ll_color_chain(frames: jnp.ndarray, interpret: bool = False,
+                                fast: bool = False):
+    """u8 frames [B, H, W, 3] -> RAW [B, 2, 4, H', W'] Y/U tree lowpasses in
+    chained padded layout (valid at offset CHAIN_MARGIN//2, fully circular
+    content at rows/lanes >= 2).  Callers must gate on chain_eligible."""
+    b, h0_, w0, _ = frames.shape
+    planes = jnp.moveaxis(frames, -1, 1)  # [B, 3, H, W] u8
+    planes = _chain_pad(planes, h0_, w0)
+    h, w = planes.shape[-2:]
+    chunk = pick_chunk2(w)
+    rsel, s2, _, _, _ = _consts_l1(chunk)
+    return pl.pallas_call(
+        partial(_kernel_ll_color, (h, chunk, fast)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2 * STRIP, STRIP + 2 * HALO), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2, 4, STRIP // 2, w // 2),
+                               lambda i, j: (i, 0, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(rsel), jnp.asarray(s2))
+
+
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_level1_ll_y_chain(frames: jnp.ndarray, interpret: bool = False,
+                            fast: bool = False):
+    """u8 frames [B, H, W, 3] -> RAW [B, 4, H', W'] Y tree lowpasses in
+    chained padded layout (embed mask path)."""
+    b, h0_, w0, _ = frames.shape
+    planes = jnp.moveaxis(frames, -1, 1)
+    planes = _chain_pad(planes, h0_, w0)
+    h, w = planes.shape[-2:]
+    chunk = pick_chunk2(w)
+    rsel, s2, _, _, _ = _consts_l1(chunk)
+    return pl.pallas_call(
+        partial(_kernel_ll_color_y, (h, chunk, fast)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((2 * STRIP, STRIP + 2 * HALO), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, STRIP // 2, w // 2),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(planes, jnp.asarray(rsel), jnp.asarray(s2))
+
+
+@partial(jax.jit, static_argnames=("interpret", "fast"))
+def dtcwt_qshift_ll_chain(ll4_raw: jnp.ndarray, interpret: bool = False,
+                          fast: bool = False):
+    """RAW chained [B, 4, h', w'] tree lowpasses (margin 48) -> RAW
+    [B, 4, h'/2, w'/2] next-level lowpasses (margin 24).  No pad, no crop."""
+    b, t, h, w = ll4_raw.shape
+    chunk = pick_chunk2(w)
+    rsel, s2, _ = _consts_q(chunk)
+    return pl.pallas_call(
+        partial(_kernel_q_ll, (h, chunk, fast)),
+        out_shape=jax.ShapeDtypeStruct((b, 4, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4 * STRIP, 4 * (STRIP + 2 * QHALO)), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 4, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4_raw, jnp.asarray(rsel), jnp.asarray(s2))
+
+
+@partial(jax.jit, static_argnames=("out_valid", "interpret", "fast"))
+def dtcwt_qshift_hp_chain(ll4_raw: jnp.ndarray, out_valid: tuple,
+                          interpret: bool = False, fast: bool = False):
+    """RAW chained [B, 4, h', w'] level-2 lowpasses (margin 24) -> VALID
+    [B, 12, h3, w3] level-3 highpass planes (the chain's terminal crop at
+    offset 12 = CHAIN_MARGIN//8)."""
+    b, t, h, w = ll4_raw.shape
+    chunk = pick_chunk2(w)
+    rsel, s2, _ = _consts_q(chunk)
+    out = pl.pallas_call(
+        partial(_kernel_q_hp, (h, chunk, fast)),
+        out_shape=jax.ShapeDtypeStruct((b, 12, h // 2, w // 2), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((4 * STRIP, 4 * (STRIP + 2 * QHALO)), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, chunk, chunk // 2), lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 12, STRIP // 2, w // 2), lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4_raw, jnp.asarray(rsel), jnp.asarray(s2))
+    m = CHAIN_MARGIN // 8
+    return out[..., m : m + out_valid[0], m : m + out_valid[1]]

@@ -53,7 +53,7 @@ def masks_eligible(h: int, w: int) -> bool:
 
 
 @lru_cache(maxsize=None)
-def _consts_masks(wp: int, step: float):
+def _consts_masks(wp: int, step: float, margin: int = MARGIN):
     filters = {
         0: (np.asarray(C.QSHIFT_H0A), np.asarray(C.QSHIFT_H1A)),
         1: (np.asarray(C.QSHIFT_H0B), np.asarray(C.QSHIFT_H1B)),
@@ -95,23 +95,23 @@ def _consts_masks(wp: int, step: float):
 
     # column selection: the level-2 column DECIMATION (phase 0: undecimated
     # lane 2j), the 2x column rebin (mean of decimated cols 2c, 2c+1) and
-    # the valid-window crop (decimated col 0 = undecimated lane MARGIN) all
-    # fold into one 0/0.5 matmul over the undecimated conv lanes:
-    #   mask col c = 0.5*(magc[MARGIN + 4c] + magc[MARGIN + 4c + 2])
+    # the valid-window crop (decimated col 0 = undecimated lane `margin`)
+    # all fold into one 0/0.5 matmul over the undecimated conv lanes:
+    #   mask col c = 0.5*(magc[margin + 4c] + magc[margin + 4c + 2])
     # (magc already carries the mean2x2 column pair-sum).  Output lanes
     # padded to a multiple of 128.
-    wv2 = (wp - MARGIN) // 4  # >= the true valid width; callers crop
+    wv2 = (wp - margin) // 4  # >= the true valid width; callers crop
     wout = _round_up(max(wv2, 1), 128)
     scol = np.zeros((wp, wout), np.float32)
     for c in range(wv2):
-        if MARGIN + 4 * c + 2 < wp:
-            scol[MARGIN + 4 * c, c] = 0.5
-            scol[MARGIN + 4 * c + 2, c] = 0.5
+        if margin + 4 * c + 2 < wp:
+            scol[margin + 4 * c, c] = 0.5
+            scol[margin + 4 * c + 2, c] = 0.5
     return qrow, mrow6, mrow6_0, scol, filters, np.float32(step)
 
 
 def _kernel_masks(static, x_hbm, qrow_ref, mrow_ref, mrow0_ref, scol_ref, o_ref):
-    h_total, wp, step, fast = static
+    h_total, wp, step, fast, margin = static
     b = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -131,7 +131,7 @@ def _kernel_masks(static, x_hbm, qrow_ref, mrow_ref, mrow0_ref, scol_ref, o_ref)
         c0.start(); c1.start(); c2.start()
         c0.wait(); c1.wait(); c2.wait()
 
-        filters = _consts_masks(wp, step)[4]
+        filters = _consts_masks(wp, step, margin)[4]
         kq = STRIP + 2 * QHALO
         xstack = scratch[:].reshape(4 * kq, scratch.shape[-1])
         lohi = _row_dot_q(qrow_ref, xstack, fast)  # [4*2*MROWS, wp]
@@ -152,7 +152,7 @@ def _kernel_masks(static, x_hbm, qrow_ref, mrow_ref, mrow0_ref, scol_ref, o_ref)
         # final selection matmul, so the mean2x2 column neighbour (one
         # decimated col left) is an undecimated roll by 2
         lane = jax.lax.broadcasted_iota(jnp.int32, (MROWS, lohi.shape[-1]), 1)
-        left_edge = lane == MARGIN
+        left_edge = lane == margin
         mags = []
         for band in ("lh", "hl", "hh"):
             aa, ab, ba, bb = (hp[(band, ci)] for ci in range(4))
@@ -168,7 +168,10 @@ def _kernel_masks(static, x_hbm, qrow_ref, mrow_ref, mrow0_ref, scol_ref, o_ref)
                 mags.append(prev + mag)
         magc = jnp.concatenate(mags, axis=0)  # [6*MROWS, wp]
 
-        mrow = jnp.where(j == 0, mrow0_ref[:], mrow_ref[:])
+        # the grid row holding the valid window's top edge (valid hp row 0 =
+        # padded hp row margin/2, i.e. local row 8 of cell margin//32 —
+        # margin % 32 == 16 keeps mrow0's local structure valid)
+        mrow = jnp.where(j == margin // 32, mrow0_ref[:], mrow_ref[:])
         rows = dot_exact(mrow, magc, exact_side="left", fast=fast)  # [48, wp]
         dec = dot_exact(rows, scol_ref[:], exact_side="right", fast=fast)
         m = jnp.ceil(dec / step)  # [48, wout]
@@ -198,7 +201,7 @@ def dtcwt_qshift_masks(ll4: jnp.ndarray, step: float = 5.0,
     qrow, mrow6, mrow6_0, scol, _, _ = _consts_masks(w, float(step))
     wout = scol.shape[1]
     out = pl.pallas_call(
-        partial(_kernel_masks, (h, w, float(step), fast)),
+        partial(_kernel_masks, (h, w, float(step), fast, MARGIN)),
         out_shape=jax.ShapeDtypeStruct((b, 6, h // 4, wout), jnp.float32),
         grid=(b, h // STRIP),
         in_specs=[
@@ -218,3 +221,39 @@ def dtcwt_qshift_masks(ll4: jnp.ndarray, step: float = 5.0,
     # selection output (the crop was folded into scol)
     m4 = MARGIN // 4
     return out[..., m4 : m4 + h3v, :w3v]
+
+
+@partial(jax.jit, static_argnames=("out_valid", "step", "interpret", "fast"))
+def dtcwt_qshift_masks_chain(ll4_raw: jnp.ndarray, out_valid: tuple,
+                             step: float = 5.0, interpret: bool = False,
+                             fast: bool = False):
+    """Chained-layout mask kernel: RAW [B, 4, h', w'] level-1 tree lowpasses
+    straight off dtcwt_level1_ll_*_chain (margin CHAIN_MARGIN//2 = 48, no
+    intermediate crop/pad copy) -> VALID [B, 6, h3, w3] quantized masks.
+    Identical math to dtcwt_qshift_masks; only the pad geometry constants
+    differ (see dtcwt_level1.py "Chained analysis")."""
+    from .dtcwt_level1 import CHAIN_MARGIN
+
+    margin = CHAIN_MARGIN // 2
+    b, t, h, w = ll4_raw.shape
+    qrow, mrow6, mrow6_0, scol, _, _ = _consts_masks(w, float(step), margin)
+    wout = scol.shape[1]
+    out = pl.pallas_call(
+        partial(_kernel_masks, (h, w, float(step), fast, margin)),
+        out_shape=jax.ShapeDtypeStruct((b, 6, h // 4, wout), jnp.float32),
+        grid=(b, h // STRIP),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(qrow.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mrow6.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(mrow6_0.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(scol.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 6, STRIP // 4, wout),
+                               lambda i, j: (i, 0, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ll4_raw, jnp.asarray(qrow), jnp.asarray(mrow6), jnp.asarray(mrow6_0),
+      jnp.asarray(scol))
+    m4 = margin // 4
+    return out[..., m4 : m4 + out_valid[0], : out_valid[1]]

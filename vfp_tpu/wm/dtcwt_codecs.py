@@ -17,6 +17,7 @@ math on top mirrors the reference formulas, batched over frames.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -155,6 +156,77 @@ class _DtcwtBase:
             mx = jnp.max(m, axis=(-2, -1), keepdims=True)
             m = m / jnp.maximum(12.0, mx)
         return jnp.moveaxis(m, 1, -1)  # [B, h3, w3, 6]
+
+    def _chain_mode(self, h: int, w: int):
+        """None, or the ``interpret`` flag for the single-pad CHAINED kernel
+        path (kernels/dtcwt_level1.py "Chained analysis"): level 1 pads once
+        with CHAIN_MARGIN and every later analysis kernel consumes the
+        previous kernel's raw output — no intermediate crop/pad copies (the
+        r5 stage profile measured those at ~40% of the extract chain)."""
+        from ..kernels.dtcwt_level1 import chain_eligible
+
+        if os.environ.get("VFP_DTCWT_NO_CHAIN"):  # A/B escape hatch
+            return None
+        if self.nlevels != 3 or not chain_eligible(h, w):
+            return None
+        t = self._t()
+        if t.backend == "xla":
+            return None
+        if t.backend == "pallas":
+            return jax.default_backend() != "tpu"
+        return False if jax.default_backend() == "tpu" else None
+
+    def _masks3_chain(self, ll1_raw: jnp.ndarray, shape3, mode,
+                      zero_guard: bool = False) -> jnp.ndarray:
+        """_masks3_kernel on a chained RAW level-1 lowpass layout."""
+        from ..kernels.dtcwt_masks import dtcwt_qshift_masks_chain
+
+        m = dtcwt_qshift_masks_chain(ll1_raw, shape3, step=self.step,
+                                     interpret=mode, fast=self.fast_dots)
+        if zero_guard:
+            m = jnp.where(m == 0, 0.01, m)
+        if self.normalize_masks:
+            mx = jnp.max(m, axis=(-2, -1), keepdims=True)
+            m = m / jnp.maximum(12.0, mx)
+        return jnp.moveaxis(m, 1, -1)  # [B, h3, w3, 6]
+
+    def _embed_delta_chain(self, y_ll1_raw: jnp.ndarray, wm_hp: jnp.ndarray,
+                           hw, mode) -> jnp.ndarray:
+        """_embed_delta_from_ll1 on the chained layout: masks come straight
+        off the raw level-1 lowpasses; the delta synthesis is unchanged (it
+        runs in the valid level-3 domain)."""
+        from ..kernels.dtcwt_delta import dtcwt_delta_synthesis
+
+        h, w = hw
+        shape3 = (h // 8, w // 8)
+        masks = self._masks3_chain(y_ll1_raw, shape3, mode)
+        wm_plane = _corner_replicate(jnp.moveaxis(wm_hp, -1, 0), shape3)
+        wm_plane = jnp.moveaxis(wm_plane, 0, -1)[None]  # [1, h3, w3, 6]
+        delta6 = self.alpha * masks.astype(wm_plane.dtype) * wm_plane
+        du = dtcwt_delta_synthesis(c2q_subs(delta6), interpret=mode,
+                                   fast=self.fast_dots)
+        return du[..., :h, :w]
+
+    def _decode_from_ll1_chain(self, y_ll1_raw: jnp.ndarray,
+                               u_ll1_raw: jnp.ndarray, hw, mode) -> jnp.ndarray:
+        """_decode_from_ll1 on the chained layout: the U level-2/3 analyses
+        consume raw outputs directly (zero intermediate crop/pad copies)."""
+        from ..kernels.dtcwt_level1 import (dtcwt_qshift_hp_chain,
+                                            dtcwt_qshift_ll_chain)
+
+        t = self._t()
+        h, w = hw
+        shape3 = (h // 8, w // 8)
+        u_ll2 = dtcwt_qshift_ll_chain(u_ll1_raw, interpret=mode,
+                                      fast=self.fast_dots)
+        u_hp3 = dtcwt_qshift_hp_chain(u_ll2, shape3, interpret=mode,
+                                      fast=self.fast_dots)
+        masks = self._masks3_chain(y_ll1_raw, shape3, mode, zero_guard=True)
+        coeff = q2c_planes(u_hp3) / masks.astype(jnp.complex64) / self.alpha
+        hh, ww = (shape3[0] + 1) // 2, (shape3[1] + 1) // 2
+        folded = _fold_corners(jnp.moveaxis(coeff, -1, 1), hh, ww)
+        folded = jnp.moveaxis(folded, 1, -1)  # [B, hh, ww, 6]
+        return t.synthesis_legall_hp(c2q_subs(folded))
 
     def _masks3_from_mags(self, hp2, shape3, zero_guard: bool = False) -> jnp.ndarray:
         """[B, 6, h2, w2] subband magnitudes -> [B, h3, w3, 6] masks."""
@@ -413,6 +485,18 @@ class _DtcwtBase:
             # pixel space by linearity — so neither a full-resolution
             # bgr_to_yuv pass nor the U channel itself is ever materialized
             h, w = frames.shape[1], frames.shape[2]
+            cm = self._chain_mode(h, w)
+            if cm is not None and self._delta_mode((h // 8, w // 8)) is not None:
+                # single-pad chained layout: level 1 -> masks with zero
+                # intermediate crop/pad copies (dtcwt_level1.py chain note)
+                from ..kernels.dtcwt_level1 import dtcwt_level1_ll_y_chain
+
+                y_raw = dtcwt_level1_ll_y_chain(frames, interpret=cm,
+                                                fast=self.fast_dots)
+                du = self._embed_delta_chain(y_raw, wm_hp, (h, w), cm)
+                marked = frames.astype(jnp.float32) + du[..., None] * jnp.asarray(
+                    M_BWD[:, 1])
+                return jnp.round(jnp.clip(marked, 0.0, 255.0)).astype(jnp.uint8)
             mode = Transform2d()._kernel_mode(h, w)
             if mode is not None:
                 from ..kernels.dtcwt_level1 import dtcwt_level1_analysis_ll_y
@@ -439,6 +523,14 @@ class _DtcwtBase:
             # materialize full-resolution f32 planes (decode reads nothing
             # else of them)
             h, w = frames.shape[1], frames.shape[2]
+            cm = self._chain_mode(h, w)
+            if cm is not None:
+                from ..kernels.dtcwt_level1 import dtcwt_level1_ll_color_chain
+
+                ll1 = dtcwt_level1_ll_color_chain(frames, interpret=cm,
+                                                  fast=self.fast_dots)
+                return self._decode_from_ll1_chain(ll1[:, 0], ll1[:, 1],
+                                                   (h, w), cm)
             mode = Transform2d()._kernel_mode(h, w)
             if mode is not None:
                 from ..kernels.dtcwt_level1 import dtcwt_level1_analysis_ll_color
